@@ -1,0 +1,66 @@
+"""Engine configuration.
+
+Mirrors the reference's ``src/Config.ts`` knobs where they still make sense on
+Spark, and adds the Spark-native ones (bucket counts, AQE, checkpointing).
+The reference's row-buffering knobs (``batch_size``, ``insert_stream_timeout``)
+are subsumed by micro-batch triggers and are kept only for documentation
+parity.
+
+Note the reference defines ``finalize_concurrency`` (default 3,
+``src/Config.ts:32``) but its finalize pool actually uses ``batch_size``
+(``src/processStream.ts:161``). We take the *documented* meaning.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .identifiers import DEFAULT_SUBTABLE_SEPARATOR
+
+
+@dataclass
+class Config:
+    #: Root directory of the lake (tables live under ``<root>/tables/<name>``).
+    lake_root: str = "/tmp/stcs_lake"
+
+    #: Separator between parent and child table names (reference default
+    #: ``src/Config.ts:27``).
+    subtable_separator: str = DEFAULT_SUBTABLE_SEPARATOR
+
+    #: Re-parse scalar values (bool/int/float/string coercion) like the
+    #: reference's ``translate_values`` (``src/Config.ts:30``,
+    #: ``src/SchemaTranslator.ts``). Implemented as JVM-side cast/when chains,
+    #: never per-row Python.
+    translate_values: bool = False
+
+    #: Streams whose tables must be dropped and recreated at SCHEMA time
+    #: (reference ``--update-streams`` CLI flag, ``src/index.ts:6-9``).
+    streams_to_replace: list[str] = field(default_factory=list)
+
+    #: Tables exempt from ACTIVE_STREAMS retirement
+    #: (reference ``extra_active_tables``, ``src/Config.ts:33``).
+    extra_active_tables: list[str] = field(default_factory=list)
+
+    #: Number of hash buckets per table. Merges / key-deletes rewrite only the
+    #: buckets touched by a batch, so this bounds write amplification; at
+    #: 100 TB you want O(10k) buckets so a bucket is a few hundred MB.
+    n_buckets: int = 32
+
+    #: Salt factor for the pre-merge repartition on hot keys: the batch is
+    #: repartitioned on (bucket, salt) before the per-PK dedup window so a
+    #: hot (repo, path) cannot pin a single task.
+    skew_salt: int = 4
+
+    #: Run the child-orphan delete (reference D3, ``StreamProcessor.ts:148-169``)
+    #: after every batch instead of only at finalize. Keeps child tables
+    #: always-consistent; cost is bounded by the touched root buckets.
+    orphan_delete_per_batch: bool = True
+
+    #: Assert PK uniqueness after finalize (reference D7,
+    #: ``StreamProcessor.ts:176-193``).
+    assert_pk_integrity: bool = True
+
+    #: Documented-but-unused in the reference; here it bounds how many
+    #: streams finalize concurrently (driver-side thread pool submitting
+    #: independent Spark jobs).
+    finalize_concurrency: int = 3
