@@ -1,0 +1,481 @@
+"""The CDC apply engine — reference ``src/processStream.ts`` +
+``src/StreamProcessor.ts`` re-expressed as micro-batch DataFrame plans.
+
+A batch of Singer lines (``value`` string, ``_seq`` long — the durable source
+offset) is applied as:
+
+1. control messages (SCHEMA / STATE / ACTIVE_STREAMS) are collected
+   driver-side (they are rare); RECORD / DELETED_RECORD stay distributed;
+2. per stream: cleaning-column wipes for first-seen values (reference D5),
+   then shred (``shred.shred_stream``) and per-table MERGE/append, children
+   committed before the root so a crash replays only the not-yet-committed
+   tables;
+3. buffered hard deletes (reference D4) apply after the inserts of the same
+   commit window, matching the reference's flush order
+   (``StreamProcessor.ts:87-95``);
+4. the last STATE value persists to ``<lake>/_state.json`` after the tables
+   commit (≙ echoing state to stdout only after buffers flushed,
+   ``processStream.ts:104-114``).
+
+Exactly-once: every table snapshot records ``last_applied_seq``; a replayed
+batch (same run, max seq <= recorded) is skipped per table, so a crash
+between table commits reconverges on replay. Versions derive from the source
+offset (``_ver = run_seq_base + _seq + 1``), so a replay regenerates
+identical versions — the Spark-native upgrade over the reference's
+in-memory ``maxVer`` counter (``StreamProcessor.ts:56-61``).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import uuid
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from .config import Config
+from .lake.catalog import (
+    ARCHIVED_TABLE_PREFIX,
+    DROPPED_TABLE_PREFIX,
+    LakeCatalog,
+    TableSnapshot,
+)
+from .lake import merge as M
+from .schema.inspector import PKType, TableMeta, build_meta
+from .schema.translator import (
+    Column,
+    check_primary_keys_consistency,
+    columns_intersection,
+    expected_columns,
+    to_qualified_type,
+)
+from .shred import SEQ_COL, shred_stream
+
+log = logging.getLogger(__name__)
+
+_ENVELOPE = T.StructType(
+    [
+        T.StructField("type", T.StringType()),
+        T.StructField("stream", T.StringType()),
+        # raw capture: record payload / state value stay unparsed strings
+        T.StructField("record", T.StringType()),
+        T.StructField("value", T.StringType()),
+    ]
+)
+
+
+class RecordBeforeSchemaError(RuntimeError):
+    pass
+
+
+@dataclass
+class StreamState:
+    meta: TableMeta
+    started_clean: bool = False
+    #: cleaning values already wiped this run (reference StreamProcessor.ts:33)
+    cleaned_values: set = field(default_factory=set)
+
+
+def _spark_type_of_ch(ch_type: str) -> T.DataType:
+    """Inverse mapping for evolution: qualified CH type string -> Spark type."""
+    inner = ch_type
+    array = False
+    while True:
+        changed = False
+        for mod in ("Nullable", "LowCardinality", "Array"):
+            if inner.startswith(f"{mod}(") and inner.endswith(")"):
+                if mod == "Array":
+                    array = True
+                inner = inner[len(mod) + 1 : -1]
+                changed = True
+        if not changed:
+            break
+    base_map = {
+        "String": T.StringType(), "UUID": T.StringType(), "Date": T.DateType(),
+        "DateTime": T.TimestampType(), "DateTime64": T.TimestampType(),
+        "Int64": T.LongType(), "Int32": T.IntegerType(), "Int16": T.ShortType(),
+        "Int8": T.ByteType(), "UInt64": T.LongType(), "UInt32": T.LongType(),
+        "UInt8": T.BooleanType(), "Float64": T.DoubleType(), "Float32": T.FloatType(),
+        "Int128": T.DecimalType(38, 0),
+    }
+    if inner.startswith("Decimal("):
+        p, s = inner[8:-1].split(",")
+        base: T.DataType = T.DecimalType(int(p), int(s.strip()))
+    else:
+        base = base_map.get(inner, T.StringType())
+    return T.ArrayType(base) if array else base
+
+
+class SingerEngine:
+    def __init__(self, spark: SparkSession, config: Optional[Config] = None, run_id: Optional[str] = None):
+        self.spark = spark
+        self.config = config or Config()
+        self.catalog = LakeCatalog(self.config.lake_root, spark)
+        self.run_id = run_id or uuid.uuid4().hex
+        self.streams: dict[str, StreamState] = {}
+
+    # ------------------------------------------------------------- DDL layer
+    def _ch_columns_for(self, meta: TableMeta) -> list[dict]:
+        cols = [
+            {"name": c.name, "type": to_qualified_type(c), "is_in_sorting_key": cc}
+            for c, cc in [(c, c.name in meta.order_by_columns()) for c in meta.pk_columns]
+        ] + [
+            {"name": c.name, "type": to_qualified_type(c), "is_in_sorting_key": False}
+            for c in meta.simple_columns
+        ]
+        if meta.version_column:
+            cols.append({"name": meta.version_column, "type": "UInt64", "is_in_sorting_key": False})
+        return cols
+
+    def _bucket_by(self, meta: TableMeta) -> list[str]:
+        """Root: CURRENT pks; child: _root_* columns (same values as root pks
+        => co-bucketed orphan join); no keys: unbucketed append."""
+        if meta.is_root:
+            return [c.name for c in meta.pks_of(PKType.CURRENT)]
+        return [c.name for c in meta.pks_of(PKType.ROOT)]
+
+    def _create_node(self, meta: TableMeta) -> None:
+        if not meta.simple_columns and not meta.pk_columns:
+            raise ValueError("Attempting to create table without columns")
+        self.catalog.create_table(
+            meta.table_name,
+            schema=meta.target_schema(),
+            ch_columns=self._ch_columns_for(meta),
+            pk=[c.name for c in meta.pks_of(PKType.CURRENT)] if meta.is_root else [],
+            order_by=meta.order_by_columns(),
+            engine="replacing" if meta.has_replacing_semantics else "plain",
+            bucket_by=self._bucket_by(meta),
+            n_buckets=self.config.n_buckets,
+        )
+
+    def _create_tree(self, meta: TableMeta) -> None:
+        for node in meta.walk():
+            self._create_node(node)
+
+    def _drop_tree(self, meta: TableMeta) -> None:
+        for node in meta.walk():
+            self.catalog.drop_table(node.table_name)
+
+    def _update_schema(self, meta: TableMeta) -> None:
+        """Reference ``updateSchema`` (jsonSchemaTranslator.ts:158-210):
+        children first, create missing nodes, then diff + ALTER."""
+        for child in meta.children:
+            self._update_schema(child)
+        if not self.catalog.table_exists(meta.table_name):
+            self._create_node(meta)
+            return
+        snap = self.catalog.snapshot(meta.table_name)
+        existing = [Column(c["name"], c["type"], c["is_in_sorting_key"]) for c in snap.ch_columns]
+        required = expected_columns(meta)
+        inter = columns_intersection(existing, required)
+        if meta.is_root:
+            check_primary_keys_consistency(existing, meta)
+        dirty = False
+        for col in inter["missing"]:
+            snap = self.catalog.add_column(
+                meta.table_name, col.name, _spark_type_of_ch(col.type), col.type,
+                snap=snap, defer=True,
+            )
+            dirty = True
+        for mod in inter["modified"]:
+            snap = self.catalog.modify_column(
+                meta.table_name, mod["new"].name, _spark_type_of_ch(mod["new"].type),
+                mod["new"].type, snap=snap, defer=True,
+            )
+            dirty = True
+        for col in inter["obsolete"]:
+            snap = self.catalog.drop_column(meta.table_name, col.name, snap=snap, defer=True)
+            dirty = True
+        if dirty:
+            self.catalog.commit_snapshot(meta.table_name, snap)
+
+    # --------------------------------------------------------------- messages
+    def _process_schema_message(self, msg: dict) -> None:
+        stream = msg["stream"]
+        if stream in self.streams:
+            log.warning("A schema has already been received for stream [%s]. Ignoring message", stream)
+            return
+        meta = build_meta(
+            stream,
+            msg["schema"],
+            msg.get("key_properties") or [],
+            subtable_separator=self.config.subtable_separator,
+            cleaning_column=msg.get("cleaning_column"),
+            all_key_properties=msg.get("all_key_properties"),
+        )
+        clean_first = bool(msg.get("clean_first"))
+        if stream in self.config.streams_to_replace:
+            self._drop_tree(meta)
+        if clean_first:
+            self._drop_tree(meta)
+        if self.catalog.table_exists(meta.table_name):
+            self._update_schema(meta)
+        else:
+            self._create_tree(meta)
+        self.streams[stream] = StreamState(meta=meta, started_clean=clean_first)
+
+    def _retire_inactive(self, active_streams: list[str]) -> None:
+        """Reference E7 (processStream.ts:45-66)."""
+        sep = self.config.subtable_separator
+        keep = list(active_streams) + list(self.config.extra_active_tables)
+        for table in self.catalog.list_tables():
+            matches = any(table == a or table.startswith(a + sep) for a in keep)
+            dropped = table.startswith(DROPPED_TABLE_PREFIX)
+            archived = table.startswith(ARCHIVED_TABLE_PREFIX)
+            if not matches and not dropped and not archived:
+                self.catalog.rename_table(table, f"{DROPPED_TABLE_PREFIX}{table}")
+
+    # ----------------------------------------------------------- apply (core)
+    def _run_base(self, snap: TableSnapshot, batch_min_seq: int) -> tuple[int, int]:
+        """Resolve (run_seq_base, gate_seq) for this run on this table.
+        A new run re-bases versions above everything already applied
+        (reference 'version starts at max(_ver)+1', StreamProcessor.ts:56-61)."""
+        if snap.run_id == self.run_id:
+            return snap.run_seq_base, snap.last_applied_seq
+        new_base = snap.run_seq_base + snap.last_applied_seq + 1 - batch_min_seq
+        return max(new_base, 0), batch_min_seq - 1
+
+    def _apply_stream_records(self, state: StreamState, records: DataFrame) -> None:
+        """records: (record string, _seq long) for ONE stream, already gated
+        to unapplied seqs at the root level."""
+        meta = state.meta
+        bounds = records.agg(
+            F.min(SEQ_COL).alias("lo"), F.max(SEQ_COL).alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is None:
+            return
+        lo, hi = bounds["lo"], bounds["hi"]
+
+        root_snap = self.catalog.snapshot(meta.table_name)
+        run_base, gate = self._run_base(root_snap, lo)
+        if hi <= gate:
+            return  # whole batch already applied (replay)
+        records = records.where(F.col(SEQ_COL) > gate)
+
+        # D5: cleaning-column wipe for first-seen values, before the inserts
+        # (StreamProcessor.ts:70-81). Skipped when the stream started clean.
+        if meta.cleaning_column and not state.started_clean:
+            cleaning_spec = next(
+                (c for c in meta.simple_columns + meta.pk_columns if c.prop == meta.cleaning_column),
+                None,
+            )
+            if cleaning_spec is None:
+                raise ValueError(
+                    f"[{meta.prop}] could not resolve cleaning column meta "
+                    f"(looking for {meta.cleaning_column})"
+                )
+            vals = {
+                r["v"]
+                for r in records.select(
+                    F.get_json_object(F.col("record"), f"$.{meta.cleaning_column}").alias("v")
+                ).distinct().collect()
+                if r["v"] is not None
+            }
+            new_vals = vals - state.cleaned_values
+            if new_vals:
+                snap = self.catalog.snapshot(meta.table_name)
+                snap = M.delete_where(
+                    self.catalog, meta.table_name,
+                    F.col(cleaning_spec.name).cast("string").isin(*sorted(new_vals)),
+                    snap=snap,
+                )
+                snap.cleaned_values = sorted(state.cleaned_values | new_vals)
+                self.catalog.commit_snapshot(meta.table_name, snap)
+                state.cleaned_values |= new_vals
+                root_snap = self.catalog.snapshot(meta.table_name)
+
+        records = records.cache()
+        shredded = shred_stream(
+            records, meta, ver_offset=run_base, translate_values=self.config.translate_values
+        )
+
+        # Commit children first, root last: the root's last_applied_seq is the
+        # batch barrier, so a replay after a partial crash re-applies only the
+        # tables that didn't commit.
+        for node in meta.walk():
+            if node.table_name == meta.table_name:
+                continue
+            snap = self.catalog.snapshot(node.table_name)
+            if snap.run_id == self.run_id and snap.last_applied_seq >= hi:
+                continue  # replay: this child already has the batch
+            snap = M.append_rows(self.catalog, node.table_name, shredded[node.table_name], snap=snap)
+            snap.last_applied_seq = hi
+            snap.run_id = self.run_id
+            self.catalog.commit_snapshot(node.table_name, snap)
+
+        batch_root = shredded[meta.table_name]
+        touched: list[int] = []
+        if root_snap.engine == "replacing":
+            touched = self.catalog.touched_buckets(batch_root, root_snap)
+            root_snap = M.merge_upsert(
+                self.catalog, meta.table_name, batch_root,
+                snap=root_snap, skew_salt=self.config.skew_salt,
+            )
+        else:
+            root_snap = M.append_rows(self.catalog, meta.table_name, batch_root, snap=root_snap)
+        root_snap.last_applied_seq = hi
+        root_snap.run_seq_base = run_base
+        root_snap.run_id = self.run_id
+        self.catalog.commit_snapshot(meta.table_name, root_snap)
+        records.unpersist()
+
+        # D3 per-batch: clean child orphans in the touched buckets.
+        if self.config.orphan_delete_per_batch and meta.children and root_snap.engine == "replacing":
+            self._delete_orphans(meta, buckets=touched)
+
+    def _delete_orphans(self, meta: TableMeta, buckets: Optional[list[int]] = None) -> None:
+        """Reference D3 (StreamProcessor.ts:148-169), bucket-aligned."""
+        root_pk = [c.name for c in meta.pks_of(PKType.CURRENT)]
+        root_df = self.catalog.read(meta.table_name, buckets=buckets)
+        for node in meta.walk():
+            if node.table_name == meta.table_name:
+                continue
+            child_root_cols = [c.name for c in node.pks_of(PKType.ROOT)]
+            snap = M.orphan_delete(
+                self.catalog, node.table_name, root_df, root_pk, child_root_cols,
+                buckets=buckets, snap=None,
+            )
+            self.catalog.commit_snapshot(node.table_name, snap)
+
+    def _apply_stream_deletes(self, state: StreamState, deletes: DataFrame) -> None:
+        """Reference D4 (DeletedRecordProcessor.ts): hard delete by CURRENT pk."""
+        meta = state.meta
+        pks = meta.pks_of(PKType.CURRENT)
+        if not pks:
+            raise ValueError(f"[{meta.prop}] cannot push deleted record to a stream without pk mapping")
+        if deletes.isEmpty():
+            return
+        key_schema = T.StructType(
+            [T.StructField(p.prop, p.spark_type or T.StringType()) for p in pks]
+        )
+        keys = deletes.select(F.from_json("record", key_schema).alias("k")).select(
+            *[F.col(f"k.{p.prop}").alias(p.name) for p in pks]
+        )
+        snap = M.delete_by_keys(self.catalog, meta.table_name, keys)
+        self.catalog.commit_snapshot(meta.table_name, snap)
+
+    # ------------------------------------------------------------ batch entry
+    def apply_lines(self, lines: DataFrame) -> None:
+        """Apply one micro-batch of Singer lines (columns: value, _seq)."""
+        parsed = lines.select(
+            F.from_json("value", _ENVELOPE).alias("m"), F.col(SEQ_COL), F.col("value")
+        ).select("m.type", "m.stream", "m.record", F.col("m.value").alias("state_value"),
+                 F.col(SEQ_COL), F.col("value").alias("raw"))
+        parsed = parsed.cache()
+        try:
+            control = sorted(
+                (
+                    r
+                    for r in parsed.where(
+                        F.col("type").isin("SCHEMA", "STATE", "ACTIVE_STREAMS")
+                    ).select("type", "raw", SEQ_COL).collect()
+                ),
+                key=lambda r: r[SEQ_COL],
+            )
+            unknown = parsed.where(
+                (~F.col("type").isin("SCHEMA", "RECORD", "DELETED_RECORD", "STATE", "ACTIVE_STREAMS"))
+                | F.col("type").isNull()
+            ).limit(5).collect()
+            for r in unknown:
+                log.warning("Message type not handled at seq %s starting with [%s]",
+                            r[SEQ_COL], (r["raw"] or "")[:50])
+
+            schema_seqs: dict[str, int] = {}
+            last_state = None
+            active_streams = None
+            for r in control:
+                msg = json.loads(r["raw"])
+                if r["type"] == "SCHEMA":
+                    known_before = msg["stream"] in self.streams
+                    self._process_schema_message(msg)
+                    if not known_before:
+                        schema_seqs[msg["stream"]] = r[SEQ_COL]
+                elif r["type"] == "STATE":
+                    last_state = msg.get("value")
+                elif r["type"] == "ACTIVE_STREAMS":
+                    active_streams = msg.get("streams", [])
+
+            records = parsed.where(F.col("type") == "RECORD")
+            rec_streams = {
+                r["stream"]: (r["lo"], r["hi"])
+                for r in records.groupBy("stream").agg(
+                    F.min(SEQ_COL).alias("lo"), F.max(SEQ_COL).alias("hi")
+                ).collect()
+            }
+            for stream, (lo, hi) in sorted(rec_streams.items()):
+                if stream not in self.streams:
+                    raise RecordBeforeSchemaError(
+                        f"Record message received before Schema is defined for [{stream}]"
+                    )
+                if stream in schema_seqs and lo < schema_seqs[stream]:
+                    raise RecordBeforeSchemaError(
+                        f"Record message received before Schema is defined for [{stream}]"
+                    )
+                self._apply_stream_records(
+                    self.streams[stream],
+                    records.where(F.col("stream") == stream).select("record", SEQ_COL),
+                )
+
+            deletes = parsed.where(F.col("type") == "DELETED_RECORD")
+            del_streams = [r["stream"] for r in deletes.select("stream").distinct().collect()]
+            for stream in sorted(del_streams):
+                if stream not in self.streams:
+                    raise RecordBeforeSchemaError(
+                        f"Record message received before Schema is defined for [{stream}]"
+                    )
+                self._apply_stream_deletes(
+                    self.streams[stream],
+                    deletes.where(F.col("stream") == stream).select("record", SEQ_COL),
+                )
+
+            if last_state is not None:
+                self._write_state(last_state)
+            if active_streams is not None:
+                self._retire_inactive(active_streams)
+        finally:
+            parsed.unpersist()
+
+    def _write_state(self, value) -> None:
+        path = os.path.join(self.config.lake_root, "_state.json")
+        tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(value, fh)
+        os.replace(tmp, path)
+
+    def read_state(self):
+        path = os.path.join(self.config.lake_root, "_state.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            return json.load(fh)
+
+    # -------------------------------------------------------------- finalize
+    def finalize(self) -> None:
+        """Reference F2 (StreamProcessor.ts:97-119): per stream — orphan
+        delete (dedup already happened at merge time) + PK integrity assert.
+        Skipped for streams that started clean, like the reference."""
+        for state in self.streams.values():
+            meta = state.meta
+            if state.started_clean:
+                continue
+            if meta.has_replacing_semantics and meta.children and not self.config.orphan_delete_per_batch:
+                self._delete_orphans(meta)
+            if self.config.assert_pk_integrity:
+                for node in meta.walk():
+                    keys = [c.name for c in node.pk_columns]
+                    if keys:
+                        M.assert_pk_integrity(self.catalog, node.table_name, keys=keys)
+
+    # ------------------------------------------------------------ file replay
+    def run_file(self, path: str, finalize: bool = True) -> None:
+        """Batch replay of a JSONL file (reference CLI mode, ``index.ts:24``).
+        Line number = the durable source offset."""
+        rdd = self.spark.sparkContext.textFile(path).zipWithIndex()
+        lines = self.spark.createDataFrame(rdd, f"value string, {SEQ_COL} long")
+        self.apply_lines(lines)
+        if finalize:
+            self.finalize()

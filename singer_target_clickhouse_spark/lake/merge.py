@@ -1,0 +1,168 @@
+"""Merge / delete operators over the lake — the reference's category-D ops
+(``SURVEY.md §2 D1-D7``) re-expressed as bucket-pruned DataFrame plans.
+
+Scale notes (the 100 TB story):
+
+- every operator prunes to the buckets its keys touch before reading the
+  target, so cost scales with batch size, not table size;
+- the latest-wins dedup is one window per bucket-restricted union — Spark
+  shuffles only the touched slice, AQE handles residual skew;
+- the batch side is repartitioned on (bucket, salt) before the window so a
+  hot key (one repo/path getting millions of updates in a batch) spreads
+  over ``skew_salt`` tasks for the map-side of the shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .catalog import LakeCatalog, TableSnapshot
+
+
+def latest_wins(df: DataFrame, pk: list[str], ver_col: str = "_ver") -> DataFrame:
+    """ReplacingMergeTree collapse: keep the max-`_ver` row per key
+    (reference engine semantics, ``jsonSchemaTranslator.ts:36`` +
+    ``OPTIMIZE FINAL`` at ``StreamProcessor.ts:108``). Ties cannot occur
+    because `_ver` is unique per record (derived from the source offset)."""
+    w = Window.partitionBy(*pk).orderBy(F.col(ver_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def merge_upsert(
+    catalog: LakeCatalog,
+    name: str,
+    batch: DataFrame,
+    snap: Optional[TableSnapshot] = None,
+    skew_salt: int = 1,
+) -> TableSnapshot:
+    """MERGE INTO … WHEN MATCHED AND s._ver > t._ver THEN UPDATE, as
+    union + window over the touched buckets only.
+
+    The batch must carry the full table schema (pks, simple cols, `_ver`).
+    Returns the updated (uncommitted) snapshot.
+    """
+    snap = snap or catalog.snapshot(name)
+    assert snap.engine == "replacing", f"{name} is not a replacing table"
+    cols = [f.name for f in snap.spark_schema.fields]
+    batch = batch.select(*cols)
+    touched = catalog.touched_buckets(batch, snap)
+    if not touched:
+        return snap
+    target = catalog.read(name, buckets=touched, snap=snap)
+    if skew_salt > 1:
+        # Pre-shuffle the fat side on (bucket, salt) so a hot key doesn't pin
+        # one task during the exchange feeding the dedup window.
+        salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(skew_salt))
+        batch = batch.repartition(
+            LakeCatalog.bucket_expr(snap.bucket_by, snap.n_buckets), salt
+        )
+    merged = latest_wins(target.unionByName(batch), snap.pk, "_ver")
+    return catalog.overwrite_buckets(name, merged, touched, snap)
+
+
+def append_rows(
+    catalog: LakeCatalog,
+    name: str,
+    batch: DataFrame,
+    snap: Optional[TableSnapshot] = None,
+) -> TableSnapshot:
+    """Plain-MergeTree ingestion: append files, no dedup (children + no-PK
+    roots; reference ``RecordProcessor.ts:166``)."""
+    snap = snap or catalog.snapshot(name)
+    cols = [f.name for f in snap.spark_schema.fields]
+    return catalog.append(name, batch.select(*cols), snap)
+
+
+def delete_by_keys(
+    catalog: LakeCatalog,
+    name: str,
+    keys: DataFrame,
+    snap: Optional[TableSnapshot] = None,
+) -> TableSnapshot:
+    """Hard delete by PK (reference D4, ``DeletedRecordProcessor.ts:24-58``):
+    anti-join the touched buckets against the key set."""
+    snap = snap or catalog.snapshot(name)
+    if not snap.pk:
+        raise ValueError(f"cannot push deleted record to table {name} without pk")
+    keys = keys.select(*snap.pk).distinct()
+    touched = catalog.touched_buckets(keys, snap)
+    if not touched:
+        return snap
+    target = catalog.read(name, buckets=touched, snap=snap)
+    kept = target.join(F.broadcast(keys), on=snap.pk, how="left_anti")
+    return catalog.overwrite_buckets(name, kept, touched, snap)
+
+
+def delete_where(
+    catalog: LakeCatalog,
+    name: str,
+    condition,
+    snap: Optional[TableSnapshot] = None,
+) -> TableSnapshot:
+    """DELETE WHERE <condition> (reference D5 cleaning-column wipe,
+    ``StreamProcessor.ts:121-146``). Not key-pruned — the predicate may touch
+    any bucket — so this rewrites the full table; the engine bounds how often
+    it runs (once per new cleaning value per run, like the reference)."""
+    snap = snap or catalog.snapshot(name)
+    target = catalog.read(name, snap=snap)
+    return catalog.overwrite_all(name, target.where(~condition), snap)
+
+
+def orphan_delete(
+    catalog: LakeCatalog,
+    child_name: str,
+    root_df: DataFrame,
+    root_pk: list[str],
+    child_root_cols: list[str],
+    buckets: Optional[list[int]] = None,
+    snap: Optional[TableSnapshot] = None,
+) -> TableSnapshot:
+    """Child-orphan delete (reference D3, ``StreamProcessor.ts:148-169``):
+    drop child rows whose (root-key…, _root_ver) has no surviving root row.
+
+    Children are bucketed on their ``_root_*`` columns with the same hash as
+    the root's PK bucketing, so when ``buckets`` (the root buckets touched
+    this batch) is given, only those child buckets are read and rewritten and
+    ``root_df`` can be pre-restricted to the same buckets by the caller.
+    """
+    snap = snap or catalog.snapshot(child_name)
+    child = catalog.read(child_name, buckets=buckets, snap=snap)
+    surviving = root_df.select(
+        *[F.col(p).alias(c) for p, c in zip(root_pk, child_root_cols)],
+        F.col("_ver").alias("_root_ver"),
+    )
+    kept = child.join(surviving, on=child_root_cols + ["_root_ver"], how="left_semi")
+    if buckets is not None:
+        return catalog.overwrite_buckets(child_name, kept, buckets, snap)
+    return catalog.overwrite_all(child_name, kept, snap)
+
+
+class PKIntegrityError(RuntimeError):
+    pass
+
+
+def assert_pk_integrity(catalog: LakeCatalog, name: str, keys: Optional[list[str]] = None) -> None:
+    """Post-merge duplicate-key assertion (reference D7,
+    ``StreamProcessor.ts:176-193``, the ``neighbor()`` trick ≙ group-count).
+    ``keys`` defaults to the table's full key set (reference asserts on all
+    pkMappings: root + parent + current + level)."""
+    snap = catalog.snapshot(name)
+    keys = keys or snap.pk or snap.order_by
+    if not keys:
+        return
+    dup = (
+        catalog.read(name, snap=snap)
+        .groupBy(*keys)
+        .count()
+        .where(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise PKIntegrityError(f"Duplicate key on table {name}, data: {dup[0].asDict()}")
