@@ -194,11 +194,56 @@ class SingerEngine:
             self.catalog.commit_snapshot(meta.table_name, snap)
 
     # --------------------------------------------------------------- messages
+    def _streams_dir(self) -> str:
+        d = os.path.join(self.config.lake_root, "_streams")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _persist_stream_schema(self, msg: dict) -> None:
+        """Durable stream registry: a restarted streaming run must recover
+        stream metas whose SCHEMA message lives in an already-committed
+        micro-batch (the reference re-receives SCHEMA every run; a resumed
+        checkpoint does not)."""
+        path = os.path.join(self._streams_dir(), f"{msg['stream']}.json")
+        tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {k: msg.get(k) for k in
+                 ("stream", "schema", "key_properties", "cleaning_column", "all_key_properties")},
+                fh,
+            )
+        os.replace(tmp, path)
+
+    def _recover_stream(self, stream: str) -> bool:
+        path = os.path.join(self._streams_dir(), f"{stream}.json")
+        if not os.path.exists(path):
+            return False
+        with open(path) as fh:
+            msg = json.load(fh)
+        meta = build_meta(
+            stream,
+            msg["schema"],
+            msg.get("key_properties") or [],
+            subtable_separator=self.config.subtable_separator,
+            cleaning_column=msg.get("cleaning_column"),
+            all_key_properties=msg.get("all_key_properties"),
+        )
+        state = StreamState(meta=meta)
+        # restore the run-scoped cleaning seen-set, but only for THIS run
+        # (the set resets across runs, reference StreamProcessor.ts:33)
+        if self.catalog.table_exists(meta.table_name):
+            snap = self.catalog.snapshot(meta.table_name)
+            if snap.run_id == self.run_id:
+                state.cleaned_values = set(snap.cleaned_values)
+        self.streams[stream] = state
+        return True
+
     def _process_schema_message(self, msg: dict) -> None:
         stream = msg["stream"]
         if stream in self.streams:
             log.warning("A schema has already been received for stream [%s]. Ignoring message", stream)
             return
+        self._persist_stream_schema(msg)
         meta = build_meta(
             stream,
             msg["schema"],
@@ -239,11 +284,34 @@ class SingerEngine:
         new_base = snap.run_seq_base + snap.last_applied_seq + 1 - batch_min_seq
         return max(new_base, 0), batch_min_seq - 1
 
-    def _apply_stream_records(self, state: StreamState, records: DataFrame) -> None:
-        """records: (record string, _seq long) for ONE stream, already gated
-        to unapplied seqs at the root level."""
+    def _tombstones(self, meta: TableMeta, deletes: DataFrame, run_base: int) -> DataFrame:
+        """DELETED_RECORD payloads -> tombstone rows carrying the table schema
+        plus a true ``__ts`` flag; they enter the versioned merge so ordering
+        vs RECORDs of the same key is exact (reference D4, upgraded)."""
+        pks = meta.pks_of(PKType.CURRENT)
+        if not pks:
+            raise ValueError(
+                f"[{meta.prop}] cannot push deleted record to a stream without pk mapping"
+            )
+        key_schema = T.StructType(
+            [T.StructField(p.prop, p.spark_type or T.StringType()) for p in pks]
+        )
+        cols = [F.from_json("record", key_schema).alias("k"), F.col(SEQ_COL)]
+        out = deletes.select(*cols)
+        sel = [F.col(f"k.{p.prop}").alias(p.name) for p in pks]
+        for c in meta.simple_columns:
+            sel.append(F.lit(None).cast(c.spark_field_type()).alias(c.name))
+        sel.append((F.col(SEQ_COL) + F.lit(run_base + 1)).cast("long").alias(meta.version_column))
+        sel.append(F.lit(True).alias("__ts"))
+        return out.select(*sel)
+
+    def _apply_stream_records(
+        self, state: StreamState, records: DataFrame, deletes: Optional[DataFrame] = None
+    ) -> None:
+        """records / deletes: (record string, _seq long) for ONE stream."""
         meta = state.meta
-        bounds = records.agg(
+        both = records if deletes is None else records.unionByName(deletes)
+        bounds = both.agg(
             F.min(SEQ_COL).alias("lo"), F.max(SEQ_COL).alias("hi")
         ).collect()[0]
         if bounds["lo"] is None:
@@ -255,6 +323,8 @@ class SingerEngine:
         if hi <= gate:
             return  # whole batch already applied (replay)
         records = records.where(F.col(SEQ_COL) > gate)
+        if deletes is not None:
+            deletes = deletes.where(F.col(SEQ_COL) > gate)
 
         # D5: cleaning-column wipe for first-seen values, before the inserts
         # (StreamProcessor.ts:70-81). Skipped when the stream started clean.
@@ -310,12 +380,19 @@ class SingerEngine:
         batch_root = shredded[meta.table_name]
         touched: list[int] = []
         if root_snap.engine == "replacing":
+            batch_root = batch_root.withColumn("__ts", F.lit(False))
+            if deletes is not None:
+                batch_root = batch_root.unionByName(self._tombstones(meta, deletes, run_base))
             touched = self.catalog.touched_buckets(batch_root, root_snap)
             root_snap = M.merge_upsert(
                 self.catalog, meta.table_name, batch_root,
-                snap=root_snap, skew_salt=self.config.skew_salt,
+                snap=root_snap, skew_salt=self.config.skew_salt, tombstone_col="__ts",
             )
         else:
+            if deletes is not None and not deletes.isEmpty():
+                raise ValueError(
+                    f"[{meta.prop}] cannot push deleted record to a stream without pk mapping"
+                )
             root_snap = M.append_rows(self.catalog, meta.table_name, batch_root, snap=root_snap)
         root_snap.last_applied_seq = hi
         root_snap.run_seq_base = run_base
@@ -340,23 +417,6 @@ class SingerEngine:
                 buckets=buckets, snap=None,
             )
             self.catalog.commit_snapshot(node.table_name, snap)
-
-    def _apply_stream_deletes(self, state: StreamState, deletes: DataFrame) -> None:
-        """Reference D4 (DeletedRecordProcessor.ts): hard delete by CURRENT pk."""
-        meta = state.meta
-        pks = meta.pks_of(PKType.CURRENT)
-        if not pks:
-            raise ValueError(f"[{meta.prop}] cannot push deleted record to a stream without pk mapping")
-        if deletes.isEmpty():
-            return
-        key_schema = T.StructType(
-            [T.StructField(p.prop, p.spark_type or T.StringType()) for p in pks]
-        )
-        keys = deletes.select(F.from_json("record", key_schema).alias("k")).select(
-            *[F.col(f"k.{p.prop}").alias(p.name) for p in pks]
-        )
-        snap = M.delete_by_keys(self.catalog, meta.table_name, keys)
-        self.catalog.commit_snapshot(meta.table_name, snap)
 
     # ------------------------------------------------------------ batch entry
     def apply_lines(self, lines: DataFrame) -> None:
@@ -400,14 +460,17 @@ class SingerEngine:
                     active_streams = msg.get("streams", [])
 
             records = parsed.where(F.col("type") == "RECORD")
-            rec_streams = {
-                r["stream"]: (r["lo"], r["hi"])
-                for r in records.groupBy("stream").agg(
-                    F.min(SEQ_COL).alias("lo"), F.max(SEQ_COL).alias("hi")
-                ).collect()
+            deletes = parsed.where(F.col("type") == "DELETED_RECORD")
+            stream_stats = {
+                r["stream"]: (r["lo"], r["hi"], r["dels"])
+                for r in records.select("stream", SEQ_COL, F.lit(0).alias("d"))
+                .unionByName(deletes.select("stream", SEQ_COL, F.lit(1).alias("d")))
+                .groupBy("stream")
+                .agg(F.min(SEQ_COL).alias("lo"), F.max(SEQ_COL).alias("hi"), F.sum("d").alias("dels"))
+                .collect()
             }
-            for stream, (lo, hi) in sorted(rec_streams.items()):
-                if stream not in self.streams:
+            for stream, (lo, hi, dels) in sorted(stream_stats.items()):
+                if stream not in self.streams and not self._recover_stream(stream):
                     raise RecordBeforeSchemaError(
                         f"Record message received before Schema is defined for [{stream}]"
                     )
@@ -418,18 +481,11 @@ class SingerEngine:
                 self._apply_stream_records(
                     self.streams[stream],
                     records.where(F.col("stream") == stream).select("record", SEQ_COL),
-                )
-
-            deletes = parsed.where(F.col("type") == "DELETED_RECORD")
-            del_streams = [r["stream"] for r in deletes.select("stream").distinct().collect()]
-            for stream in sorted(del_streams):
-                if stream not in self.streams:
-                    raise RecordBeforeSchemaError(
-                        f"Record message received before Schema is defined for [{stream}]"
-                    )
-                self._apply_stream_deletes(
-                    self.streams[stream],
-                    deletes.where(F.col("stream") == stream).select("record", SEQ_COL),
+                    deletes=(
+                        deletes.where(F.col("stream") == stream).select("record", SEQ_COL)
+                        if dels
+                        else None
+                    ),
                 )
 
             if last_state is not None:

@@ -40,21 +40,32 @@ def merge_upsert(
     batch: DataFrame,
     snap: Optional[TableSnapshot] = None,
     skew_salt: int = 1,
+    tombstone_col: Optional[str] = None,
 ) -> TableSnapshot:
-    """MERGE INTO … WHEN MATCHED AND s._ver > t._ver THEN UPDATE, as
+    """MERGE INTO … WHEN MATCHED AND s._ver > t._ver THEN UPDATE/DELETE, as
     union + window over the touched buckets only.
 
-    The batch must carry the full table schema (pks, simple cols, `_ver`).
+    The batch must carry the full table schema (pks, simple cols, `_ver`),
+    plus optionally a boolean ``tombstone_col``: DELETED_RECORD events enter
+    the same versioned merge as tombstone rows, so a delete at offset k kills
+    exactly the versions below k and a later re-insert survives — strictly
+    ordered CDC semantics (the reference applies buffered DELETEs at commit
+    time, which can drop a re-insert landing in the same commit window;
+    replay convergence per BASELINE.json requires the ordered form).
+
     Returns the updated (uncommitted) snapshot.
     """
     snap = snap or catalog.snapshot(name)
     assert snap.engine == "replacing", f"{name} is not a replacing table"
     cols = [f.name for f in snap.spark_schema.fields]
-    batch = batch.select(*cols)
+    sel = cols + ([tombstone_col] if tombstone_col else [])
+    batch = batch.select(*sel)
     touched = catalog.touched_buckets(batch, snap)
     if not touched:
         return snap
     target = catalog.read(name, buckets=touched, snap=snap)
+    if tombstone_col:
+        target = target.withColumn(tombstone_col, F.lit(False))
     if skew_salt > 1:
         # Pre-shuffle the fat side on (bucket, salt) so a hot key doesn't pin
         # one task during the exchange feeding the dedup window.
@@ -63,6 +74,8 @@ def merge_upsert(
             LakeCatalog.bucket_expr(snap.bucket_by, snap.n_buckets), salt
         )
     merged = latest_wins(target.unionByName(batch), snap.pk, "_ver")
+    if tombstone_col:
+        merged = merged.where(~F.col(tombstone_col)).drop(tombstone_col)
     return catalog.overwrite_buckets(name, merged, touched, snap)
 
 

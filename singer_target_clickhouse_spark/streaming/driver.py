@@ -1,0 +1,120 @@
+"""Structured-Streaming CDC driver — reference ``processStream`` main loop
+(``src/processStream.ts:126-168``) as a ``readStream`` + ``foreachBatch`` job.
+
+The change log is a directory of JSONL files (a file-backed binlog; a Kafka
+source drops in by replacing ``_read_stream`` and using the Kafka offset as
+``_seq``). Each micro-batch flows through ``SingerEngine.apply_lines``.
+
+Exactly-once across restarts:
+
+- Spark's checkpoint tracks which files belong to which ``batch_id``; a
+  crashed batch is redelivered with the same content;
+- a sidecar ``seq_base.json`` in the checkpoint dir records the global
+  sequence base per ``batch_id`` *before* the apply, so a redelivered batch
+  re-derives identical ``_seq`` values (and therefore identical ``_ver``);
+- the engine's per-table ``last_applied_seq`` gate then makes the re-apply
+  a no-op for tables that already committed.
+
+Run-id is pinned to the checkpoint dir, so a restarted job continues the
+same run (same version base) instead of re-basing like a fresh run would.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import Config
+from ..engine import SingerEngine
+from ..shred import SEQ_COL
+
+
+class StreamingDriver:
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: Config,
+        input_dir: str,
+        checkpoint_dir: str,
+        max_files_per_trigger: Optional[int] = None,
+    ):
+        self.spark = spark
+        self.config = config
+        self.input_dir = input_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.max_files_per_trigger = max_files_per_trigger
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        self.engine = SingerEngine(spark, config, run_id=self._pinned_run_id())
+
+    # ------------------------------------------------------------- run-id pin
+    def _pinned_run_id(self) -> str:
+        path = os.path.join(self.checkpoint_dir, "run_id.json")
+        if os.path.exists(path):
+            with open(path) as fh:
+                return json.load(fh)["run_id"]
+        import uuid
+
+        run_id = uuid.uuid4().hex
+        with open(path, "w") as fh:
+            json.dump({"run_id": run_id}, fh)
+        return run_id
+
+    # ----------------------------------------------------------- seq recovery
+    def _seq_base_for(self, batch_id: int, batch_count: int) -> int:
+        """Durable, replay-stable sequence base per micro-batch."""
+        path = os.path.join(self.checkpoint_dir, "seq_base.json")
+        bases: dict[str, list[int]] = {}
+        if os.path.exists(path):
+            with open(path) as fh:
+                bases = json.load(fh)
+        key = str(batch_id)
+        if key in bases:
+            return bases[key][0]
+        next_base = max((b + n for b, n in bases.values()), default=0)
+        bases[key] = [next_base, batch_count]
+        tmp = f"{path}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(bases, fh)
+        os.replace(tmp, path)
+        return next_base
+
+    # ------------------------------------------------------------------ batch
+    def _apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        # Deterministic intra-batch order: the file source redelivers an
+        # uncommitted batch with the identical file set (checkpoint WAL), and
+        # partition planning over that set is deterministic, so zipWithIndex
+        # reproduces identical line numbers on replay. A Kafka source would
+        # replace this with its native offset.
+        indexed = batch.rdd.map(lambda r: r["value"]).zipWithIndex()
+        lines = batch.sparkSession.createDataFrame(indexed, f"value string, {SEQ_COL} long")
+        n = lines.count()
+        if n == 0:
+            return
+        base = self._seq_base_for(batch_id, n)
+        lines = lines.withColumn(SEQ_COL, F.col(SEQ_COL) + F.lit(base))
+        self.engine.apply_lines(lines)
+
+    # ------------------------------------------------------------------- runs
+    def _read_stream(self) -> DataFrame:
+        reader = self.spark.readStream.format("text")
+        if self.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        return reader.load(self.input_dir)
+
+    def run_available(self, finalize: bool = True) -> None:
+        """Process everything currently in the directory, then stop
+        (``trigger(availableNow)``) — the batch-replay mode of the reference
+        CLI, but checkpointed and resumable."""
+        query = (
+            self._read_stream()
+            .writeStream.foreachBatch(self._apply_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        if finalize:
+            self.engine.finalize()
