@@ -1,38 +1,504 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship smoke: full CDC replay of a generated Singer
+change stream into a temp lake, returning the converged repo table.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator family
+from SURVEY.md §2 plus the training-data ops, each checked against DuckDB on
+the sf parquet tables. Numeric aggregates go through decimal casts so both
+engines produce bit-identical values; hash-based ops use an md5-derived
+48-bit hash that DuckDB reproduces exactly.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from singer_target_clickhouse_spark.config import Config  # noqa: E402
+from singer_target_clickhouse_spark.engine import SingerEngine  # noqa: E402
+from singer_target_clickhouse_spark.gen import REPO_STREAM, change_events_df  # noqa: E402
+from singer_target_clickhouse_spark.ops import dedup as D  # noqa: E402
+from singer_target_clickhouse_spark.ops import similarity as S  # noqa: E402
+from singer_target_clickhouse_spark.ops import text as TX  # noqa: E402
+from singer_target_clickhouse_spark.ops.multimodal import decode_features  # noqa: E402
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col, p=18, s=2):
+    return F.col(col).cast(f"decimal({p},{s})") if isinstance(col, str) else col.cast(f"decimal({p},{s})")
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship CDC replay
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Generate a deterministic Singer change stream (inserts, updates,
+    deletes over (repo, path)), replay it through the CDC engine into a temp
+    lake, return the converged table."""
+    lake = tempfile.mkdtemp(prefix="stcs_entry_")
+    cfg = Config(lake_root=lake, n_buckets=8)
+    eng = SingerEngine(spark, cfg)
+    events = change_events_df(spark, 2000, n_repos=20, paths_per_repo=50)
+    eng.apply_lines(events)
+    eng.finalize()
+    return eng.catalog.read(REPO_STREAM).select("repo", "path", "commit", "lang")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _cdc_latest_wins(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+def _cdc_tombstone_replay(spark, sf):
+    """events as a change log keyed by user_id; 'error' events are tombstones:
+    the key's final state survives only when its latest event isn't an error
+    (the engine's DELETED_RECORD merge semantics, in oracle-checkable form)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .where(F.col("event_type") != "error")
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+def _cdc_dedup_count(spark, sf):
+    latest = _cdc_latest_wins(spark, sf)
+    return latest.groupBy("event_type").agg(F.count("*").alias("n_users")).orderBy("event_type")
+
+
+def _cdc_anti_join(spark, sf):
+    """Orphan check ≙ reference D3: customers with no surviving order."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").where("o_totalprice > 100000")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def _cdc_semi_join(spark, sf):
+    """≙ reference D4's IN-delete shape: orders of high-balance customers."""
+    c = _t(spark, sf, "customer").where("c_acctbal > 5000")
+    o = _t(spark, sf, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def _cdc_flatten_props(spark, sf):
+    """JSON shredding over the events.props payload (≙ nested-object flatten)."""
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select(k.alias("k"), "value")
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(_dec("value")).cast("double") / F.count("*"), 4).alias("avg_value"),
+        )
+    )
+
+
+def _q1_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    disc = F.lit(1).cast("decimal(8,2)") - _dec("l_discount", 8, 2)
+    tax = F.lit(1).cast("decimal(8,2)") + _dec("l_tax", 8, 2)
+    return (
+        li.where("l_shipdate <= date'1998-09-02'")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * disc).cast("double").alias("sum_disc_price"),
+            F.sum(_dec("l_extendedprice") * disc * tax).cast("double").alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q3_shipping_priority(spark, sf):
+    c = _t(spark, sf, "customer").where("c_mktsegment = 'BUILDING'")
+    o = _t(spark, sf, "orders").where("o_orderdate < date'1998-01-01'")
+    li = _t(spark, sf, "lineitem").where("l_shipdate > date'1998-01-01'")
+    disc = F.lit(1).cast("decimal(8,2)") - _dec("l_discount", 8, 2)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(_dec("l_extendedprice") * disc).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+def _q5_revenue_by_nation(spark, sf):
+    r = _t(spark, sf, "region")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    disc = F.lit(1).cast("decimal(8,2)") - _dec("l_discount", 8, 2)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .where(s.s_nationkey == c.c_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(_dec("l_extendedprice") * disc).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+def _window_top_orders(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .where("rank <= 3")
+        .select("o_custkey", "o_orderkey", "rank")
+    )
+
+
+def _text_profile(spark, sf):
+    return TX.analyze(_t(spark, sf, "documents"))
+
+
+def _text_wordcount_top(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(50)
+    )
+
+
+def _dedup_exact(spark, sf):
+    docs = _t(spark, sf, "documents")
+    h = docs.select("doc_id", F.md5("text").alias("h"))
+    canon = h.groupBy("h").agg(F.min("doc_id").alias("canonical_id"))
+    return h.join(canon, "h").select("doc_id", "canonical_id")
+
+
+def _dedup_minhash_lsh(spark, sf):
+    return D.minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.875)
+
+
+def _dedup_token_jaccard(spark, sf):
+    return D.token_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.9)
+
+
+def _dedup_simhash(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", D.simhash64(F.col("text")).alias("simhash"))
+
+
+def _ann_cosine_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    out = S.cosine_topk(emb, emb.where("vec_id < 20"), k=5)
+    return out
+
+
+def _dedup_embedding_cosine(spark, sf):
+    return S.cosine_pairs(_t(spark, sf, "embeddings"), threshold=0.35).select("a_id", "b_id")
+
+
+def _similarity_lsh_ann(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return S.lsh_bucket_ann(emb, emb.where("vec_id < 20"), dim=64, k=5, n_planes=8)
+
+
+def _multimodal_features(spark, sf):
+    """Binary-column plumbing: documents as fake media payloads through the
+    Arrow mapInPandas decode kernel (decode stubbed, plumbing real)."""
+    docs = _t(spark, sf, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.create_map(F.lit("src"), F.col("source")).alias("meta"),
+    )
+    return decode_features(assets, fake_decode=True).select(
+        "asset_id", "kind", "n_bytes", "duration_ms"
+    )
+
+
+def _cdc_full_replay(spark, sf):
+    """Non-SQL: end-to-end engine replay (generate -> shred -> merge ->
+    converge); row count scales with sf via the lineitem row count."""
+    n = max(2000, _t(spark, sf, "lineitem").count() // 30)
+    lake = tempfile.mkdtemp(prefix="stcs_replay_")
+    eng = SingerEngine(spark, Config(lake_root=lake, n_buckets=8))
+    eng.apply_lines(change_events_df(spark, n, n_repos=50, paths_per_repo=200))
+    eng.finalize()
+    return eng.catalog.read(REPO_STREAM).select("repo", "path", "commit", "lang")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "cdc_latest_wins": _cdc_latest_wins,
+        "cdc_tombstone_replay": _cdc_tombstone_replay,
+        "cdc_dedup_count": _cdc_dedup_count,
+        "cdc_anti_join": _cdc_anti_join,
+        "cdc_semi_join": _cdc_semi_join,
+        "cdc_flatten_props": _cdc_flatten_props,
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q3_shipping_priority": _q3_shipping_priority,
+        "q5_revenue_by_nation": _q5_revenue_by_nation,
+        "window_top_orders": _window_top_orders,
+        "text_profile": _text_profile,
+        "text_wordcount_top": _text_wordcount_top,
+        "dedup_exact": _dedup_exact,
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_token_jaccard": _dedup_token_jaccard,
+        "dedup_simhash": _dedup_simhash,
+        "ann_cosine_topk": _ann_cosine_topk,
+        "dedup_embedding_cosine": _dedup_embedding_cosine,
+        "similarity_lsh_ann": _similarity_lsh_ann,
+        "multimodal_features": _multimodal_features,
+        "cdc_full_replay": _cdc_full_replay,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB) — column names/values must match the Spark results
+# ---------------------------------------------------------------------------
+
+_TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+_H48 = "cast('0x' || substr(md5({x}), 1, 12) as bigint)"
+
+
+def _minhash_sig_sql(n_hashes: int = 16, prime: int = 1000000007) -> str:
+    base = f"list_transform(list_distinct({_TOKS}), t -> {_H48.format(x='t')})"
+    slots = ", ".join(
+        f"list_min(list_transform(base, h -> (h * {2 * i + 1} + {1000003 * (i + 1)}) % {prime}))"
+        for i in range(n_hashes)
+    )
+    return f"select doc_id, [{slots}] as sig from (select doc_id, {base} as base from documents)"
+
+
+def _simhash_sql(bits: int = 48) -> str:
+    base = f"list_transform({_TOKS}, t -> {_H48.format(x='t')})"
+    terms = " + ".join(
+        f"(case when 2 * list_sum(list_transform(base, h -> (h >> {j}) & 1)) - len(base) > 0 "
+        f"then cast({2 ** j} as bigint) else 0 end)"
+        for j in range(bits)
+    )
+    return (
+        f"select doc_id, {terms} as simhash "
+        f"from (select doc_id, {base} as base from documents)"
+    )
+
+
+def _lang_id_sql() -> str:
+    """Inline CASE reproducing ops.text.lang_id over a `toks` column and a
+    precomputed `best` column (the greatest marker score)."""
+    from singer_target_clickhouse_spark.ops.text import LANG_MARKERS
+
+    score = {
+        lang: f"len(list_filter(toks, t -> t in ({', '.join(repr(m) for m in markers)})))"
+        for lang, markers in LANG_MARKERS.items()
+    }
+    greatest = f"greatest({', '.join(score.values())})"
+    out = "'und'"
+    for lang in reversed(list(score)):
+        out = f"case when {score[lang]} = best and best > 0 then '{lang}' else {out} end"
+    return greatest, out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from singer_target_clickhouse_spark.ops.text import STOPWORDS_EN
+
+    sw = ", ".join(repr(w) for w in STOPWORDS_EN)
+    best_expr, lang_expr = _lang_id_sql()
+
+    return {
+        "cdc_latest_wins": """
+            select user_id, event_id, event_type, value from (
+              select *, row_number() over (partition by user_id order by ts desc, event_id desc) rn
+              from events) where rn = 1
+        """,
+        "cdc_tombstone_replay": """
+            select user_id, event_id, event_type from (
+              select *, row_number() over (partition by user_id order by event_id desc) rn
+              from events) where rn = 1 and event_type <> 'error'
+        """,
+        "cdc_dedup_count": """
+            select event_type, count(*) as n_users from (
+              select * from (
+                select *, row_number() over (partition by user_id order by ts desc, event_id desc) rn
+                from events) where rn = 1)
+            group by event_type order by event_type
+        """,
+        "cdc_anti_join": """
+            select c_custkey, c_name from customer c
+            where not exists (select 1 from orders o
+                              where o.o_custkey = c.c_custkey and o.o_totalprice > 100000)
+        """,
+        "cdc_semi_join": """
+            select o_orderpriority, count(*) as n_orders from orders o
+            where exists (select 1 from customer c
+                          where c.c_custkey = o.o_custkey and c.c_acctbal > 5000)
+            group by o_orderpriority
+        """,
+        "cdc_flatten_props": """
+            select cast(json_extract_string(props, '$.k') as int) % 10 as k_bucket,
+                   count(*) as n,
+                   round(cast(sum(cast(value as decimal(18,2))) as double) / count(*), 4) as avg_value
+            from events group by 1
+        """,
+        "q1_pricing_summary": """
+            select l_returnflag, l_linestatus,
+                   cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty,
+                   cast(sum(cast(l_extendedprice as decimal(18,2))) as double) as sum_base_price,
+                   cast(sum(cast(l_extendedprice as decimal(18,2)) *
+                            (cast(1 as decimal(8,2)) - cast(l_discount as decimal(8,2)))) as double) as sum_disc_price,
+                   cast(sum(cast(l_extendedprice as decimal(18,2)) *
+                            (cast(1 as decimal(8,2)) - cast(l_discount as decimal(8,2))) *
+                            (cast(1 as decimal(8,2)) + cast(l_tax as decimal(8,2)))) as double) as sum_charge,
+                   count(*) as count_order
+            from lineitem where l_shipdate <= date '1998-09-02'
+            group by l_returnflag, l_linestatus
+            order by l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            select l_orderkey, o_orderdate,
+                   cast(sum(cast(l_extendedprice as decimal(18,2)) *
+                            (cast(1 as decimal(8,2)) - cast(l_discount as decimal(8,2)))) as double) as revenue
+            from lineitem
+            join orders on l_orderkey = o_orderkey
+            join customer on o_custkey = c_custkey
+            where c_mktsegment = 'BUILDING'
+              and o_orderdate < date '1998-01-01'
+              and l_shipdate > date '1998-01-01'
+            group by l_orderkey, o_orderdate
+            order by revenue desc, l_orderkey
+            limit 10
+        """,
+        "q5_revenue_by_nation": """
+            select n_name,
+                   cast(sum(cast(l_extendedprice as decimal(18,2)) *
+                            (cast(1 as decimal(8,2)) - cast(l_discount as decimal(8,2)))) as double) as revenue
+            from lineitem
+            join orders on l_orderkey = o_orderkey
+            join customer on o_custkey = c_custkey
+            join supplier on l_suppkey = s_suppkey
+            join nation on c_nationkey = n_nationkey
+            join region on n_regionkey = r_regionkey
+            where s_nationkey = c_nationkey
+            group by n_name
+            order by revenue desc, n_name
+        """,
+        "window_top_orders": """
+            select o_custkey, o_orderkey, rank from (
+              select o_custkey, o_orderkey,
+                     row_number() over (partition by o_custkey
+                                        order by o_totalprice desc, o_orderkey) as rank
+              from orders) where rank <= 3
+        """,
+        "text_profile": f"""
+            with t as (select doc_id, text, {_TOKS} as toks from documents),
+                 t2 as (select *, {best_expr} as best from t)
+            select doc_id,
+                   case when length(trim(text)) = 0 then 0 else len(toks) end as n_tokens,
+                   round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0
+                         / nullif(length(text), 0), 4) as punct_ratio,
+                   round(len(list_filter(toks, t -> t in ({sw}))) * 1.0 / nullif(len(toks), 0), 4)
+                       as stopword_ratio,
+                   round(least(length(text) / 500.0, 1.0) * 0.4
+                         + (1.0 - least((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                                        * 4.0 / nullif(length(text), 0), 1.0)) * 0.2
+                         + (case when list_sum(list_transform(toks, t -> length(t))) * 1.0 / len(toks)
+                                      between 3 and 10 then 1.0 else 0.5 end) * 0.2
+                         + (case when len(list_filter(toks, t -> t in ({sw}))) * 1.0 / len(toks) > 0.05
+                                  and len(list_filter(toks, t -> t in ({sw}))) * 1.0 / len(toks) < 0.6
+                                 then 1.0 else 0.5 end) * 0.2, 4) as quality,
+                   {lang_expr} as lang_pred,
+                   md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'),
+                                           '\\s+', ' ', 'g'))) as fingerprint
+            from t2
+        """,
+        "text_wordcount_top": f"""
+            select tok, count(*) as n from (
+              select unnest({_TOKS}) as tok from documents)
+            group by tok order by n desc, tok limit 50
+        """,
+        "dedup_exact": """
+            with h as (select doc_id, md5(text) as h from documents)
+            select doc_id, (select min(doc_id) from h h2 where h2.h = h.h) as canonical_id from h
+        """,
+        "dedup_minhash_lsh": f"""
+            with sig as ({_minhash_sig_sql()})
+            select a.doc_id as a_id, b.doc_id as b_id,
+                   round(({' + '.join(f'(a.sig[{i+1}] = b.sig[{i+1}])::int' for i in range(16))}) / 16.0, 4)
+                       as est_jaccard
+            from sig a join sig b on a.doc_id < b.doc_id
+            where ({' + '.join(f'(a.sig[{i+1}] = b.sig[{i+1}])::int' for i in range(16))}) >= 14
+        """,
+        "dedup_token_jaccard": f"""
+            with toks as (select doc_id, unnest(list_distinct({_TOKS})) as tok from documents),
+                 sizes as (select doc_id, count(*) as sz from toks group by doc_id),
+                 inter as (select a.doc_id a_id, b.doc_id b_id, count(*) i
+                           from toks a join toks b on a.tok = b.tok and a.doc_id < b.doc_id
+                           group by 1, 2)
+            select a_id, b_id, round(i * 1.0 / (sa.sz + sb.sz - i), 4) as jaccard
+            from inter
+            join sizes sa on a_id = sa.doc_id
+            join sizes sb on b_id = sb.doc_id
+            where round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.9
+        """,
+        "dedup_simhash": _simhash_sql(),
+        "ann_cosine_topk": """
+            with v as (select vec_id, embedding::DOUBLE[] as e from embeddings),
+                 scored as (
+                   select q.vec_id as query_id, n.vec_id as neighbor_id,
+                          row_number() over (
+                            partition by q.vec_id
+                            order by list_dot_product(q.e, n.e) /
+                                     (sqrt(list_dot_product(q.e, q.e)) *
+                                      sqrt(list_dot_product(n.e, n.e))) desc,
+                                     n.vec_id) as rank
+                   from v q join v n on q.vec_id <> n.vec_id
+                   where q.vec_id < 20)
+            select query_id, neighbor_id, rank from scored where rank <= 5
+        """,
+        "dedup_embedding_cosine": """
+            with v as (select vec_id, embedding::DOUBLE[] as e from embeddings)
+            select a.vec_id as a_id, b.vec_id as b_id
+            from v a join v b on a.vec_id < b.vec_id
+            where round(list_dot_product(a.e, b.e) /
+                        (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.35
+        """,
+    }

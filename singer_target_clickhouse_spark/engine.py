@@ -306,17 +306,23 @@ class SingerEngine:
         return out.select(*sel)
 
     def _apply_stream_records(
-        self, state: StreamState, records: DataFrame, deletes: Optional[DataFrame] = None
+        self,
+        state: StreamState,
+        records: DataFrame,
+        deletes: Optional[DataFrame] = None,
+        bounds: Optional[tuple[int, int]] = None,
     ) -> None:
-        """records / deletes: (record string, _seq long) for ONE stream."""
+        """records / deletes: (record string, _seq long) for ONE stream.
+        ``bounds`` (min seq, max seq over records+deletes) is precomputed by
+        the batch-level stats pass when available (one job instead of two)."""
         meta = state.meta
-        both = records if deletes is None else records.unionByName(deletes)
-        bounds = both.agg(
-            F.min(SEQ_COL).alias("lo"), F.max(SEQ_COL).alias("hi")
-        ).collect()[0]
-        if bounds["lo"] is None:
-            return
-        lo, hi = bounds["lo"], bounds["hi"]
+        if bounds is None:
+            both = records if deletes is None else records.unionByName(deletes)
+            row = both.agg(F.min(SEQ_COL).alias("lo"), F.max(SEQ_COL).alias("hi")).collect()[0]
+            if row["lo"] is None:
+                return
+            bounds = (row["lo"], row["hi"])
+        lo, hi = bounds
 
         root_snap = self.catalog.snapshot(meta.table_name)
         run_base, gate = self._run_base(root_snap, lo)
@@ -358,7 +364,11 @@ class SingerEngine:
                 state.cleaned_values |= new_vals
                 root_snap = self.catalog.snapshot(meta.table_name)
 
-        records = records.cache()
+        multi_node = len(meta.children) > 0
+        if multi_node:
+            # Re-used by every table node's plan; single-node streams skip the
+            # materialization (one write consumes the records exactly once).
+            records = records.cache()
         shredded = shred_stream(
             records, meta, ver_offset=run_base, translate_values=self.config.translate_values
         )
@@ -378,15 +388,18 @@ class SingerEngine:
             self.catalog.commit_snapshot(node.table_name, snap)
 
         batch_root = shredded[meta.table_name]
-        touched: list[int] = []
+        touched: Optional[list[int]] = None
         if root_snap.engine == "replacing":
             batch_root = batch_root.withColumn("__ts", F.lit(False))
             if deletes is not None:
                 batch_root = batch_root.unionByName(self._tombstones(meta, deletes, run_base))
-            touched = self.catalog.touched_buckets(batch_root, root_snap)
+            if meta.children and self.config.orphan_delete_per_batch:
+                # needed again for the bucket-aligned orphan delete below
+                touched = self.catalog.touched_buckets(batch_root, root_snap)
             root_snap = M.merge_upsert(
                 self.catalog, meta.table_name, batch_root,
                 snap=root_snap, skew_salt=self.config.skew_salt, tombstone_col="__ts",
+                touched=touched,
             )
         else:
             if deletes is not None and not deletes.isEmpty():
@@ -398,7 +411,8 @@ class SingerEngine:
         root_snap.run_seq_base = run_base
         root_snap.run_id = self.run_id
         self.catalog.commit_snapshot(meta.table_name, root_snap)
-        records.unpersist()
+        if multi_node:
+            records.unpersist()
 
         # D3 per-batch: clean child orphans in the touched buckets.
         if self.config.orphan_delete_per_batch and meta.children and root_snap.engine == "replacing":
@@ -436,13 +450,6 @@ class SingerEngine:
                 ),
                 key=lambda r: r[SEQ_COL],
             )
-            unknown = parsed.where(
-                (~F.col("type").isin("SCHEMA", "RECORD", "DELETED_RECORD", "STATE", "ACTIVE_STREAMS"))
-                | F.col("type").isNull()
-            ).limit(5).collect()
-            for r in unknown:
-                log.warning("Message type not handled at seq %s starting with [%s]",
-                            r[SEQ_COL], (r["raw"] or "")[:50])
 
             schema_seqs: dict[str, int] = {}
             last_state = None
@@ -461,14 +468,27 @@ class SingerEngine:
 
             records = parsed.where(F.col("type") == "RECORD")
             deletes = parsed.where(F.col("type") == "DELETED_RECORD")
-            stream_stats = {
-                r["stream"]: (r["lo"], r["hi"], r["dels"])
-                for r in records.select("stream", SEQ_COL, F.lit(0).alias("d"))
-                .unionByName(deletes.select("stream", SEQ_COL, F.lit(1).alias("d")))
-                .groupBy("stream")
-                .agg(F.min(SEQ_COL).alias("lo"), F.max(SEQ_COL).alias("hi"), F.sum("d").alias("dels"))
+            # One stats job for the whole batch: per-stream seq bounds and
+            # delete counts for RECORD/DELETED_RECORD, plus unknown-type
+            # counts (reference warn-and-skip, processStream.ts:119-121).
+            stats_rows = (
+                parsed.groupBy("stream", "type")
+                .agg(F.min(SEQ_COL).alias("lo"), F.max(SEQ_COL).alias("hi"), F.count("*").alias("n"))
                 .collect()
-            }
+            )
+            stream_stats: dict[str, list] = {}
+            for r in stats_rows:
+                if r["type"] in ("RECORD", "DELETED_RECORD"):
+                    cur = stream_stats.setdefault(r["stream"], [r["lo"], r["hi"], 0])
+                    cur[0] = min(cur[0], r["lo"])
+                    cur[1] = max(cur[1], r["hi"])
+                    if r["type"] == "DELETED_RECORD":
+                        cur[2] += r["n"]
+                elif r["type"] not in ("SCHEMA", "STATE", "ACTIVE_STREAMS"):
+                    log.warning(
+                        "Message type not handled: %s x%s (first seq %s)",
+                        r["type"], r["n"], r["lo"],
+                    )
             for stream, (lo, hi, dels) in sorted(stream_stats.items()):
                 if stream not in self.streams and not self._recover_stream(stream):
                     raise RecordBeforeSchemaError(
@@ -486,6 +506,7 @@ class SingerEngine:
                         if dels
                         else None
                     ),
+                    bounds=(lo, hi),
                 )
 
             if last_state is not None:

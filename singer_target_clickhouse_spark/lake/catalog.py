@@ -246,6 +246,12 @@ class LakeCatalog:
             if snap.bucket_by
             else F.lit(0),
         ).select("_bucket", *cols)
+        if snap.bucket_by:
+            # One exchange aligned to the physical layout: without it,
+            # partitionBy fans every task out across all bucket dirs
+            # (tasks × buckets small files); with it, each bucket is written
+            # by one task.
+            bucketed = bucketed.repartition(F.col("_bucket"))
         bucketed.write.partitionBy("_bucket").parquet(out_dir, mode="overwrite")
         written: dict[str, list[str]] = {}
         for entry in os.listdir(out_dir):

@@ -41,6 +41,7 @@ def merge_upsert(
     snap: Optional[TableSnapshot] = None,
     skew_salt: int = 1,
     tombstone_col: Optional[str] = None,
+    touched: Optional[list[int]] = None,
 ) -> TableSnapshot:
     """MERGE INTO … WHEN MATCHED AND s._ver > t._ver THEN UPDATE/DELETE, as
     union + window over the touched buckets only.
@@ -60,7 +61,8 @@ def merge_upsert(
     cols = [f.name for f in snap.spark_schema.fields]
     sel = cols + ([tombstone_col] if tombstone_col else [])
     batch = batch.select(*sel)
-    touched = catalog.touched_buckets(batch, snap)
+    if touched is None:
+        touched = catalog.touched_buckets(batch, snap)
     if not touched:
         return snap
     target = catalog.read(name, buckets=touched, snap=snap)

@@ -1,0 +1,192 @@
+"""Deduplication operators for web-scale corpus curation.
+
+Every variant is expressed so the heavy lifting stays in JVM expressions and
+the shuffles are the unavoidable ones (the group-by / bucket-join on the
+dedup key). Scale notes per operator:
+
+- **exact**: one hash-aggregate on md5(text). Map-side partial agg makes this
+  ~a scan.
+- **minhash + LSH**: signatures are per-row array expressions (no shuffle);
+  banding explodes to (band, band_hash) keys whose self-join is the classic
+  LSH bucket join — candidates only, verified by signature agreement. At
+  100 TB the bucket join is the only shuffle and is keyed by band hash, which
+  is uniform by construction.
+- **simhash**: per-row 64-bit signature; near-dup = equal signature (or small
+  hamming distance via multi-probe on rotated keys).
+- **token jaccard**: exploded token self-join; quadratic in bucket size, used
+  as the exact verifier for candidate pairs, not as the primary path.
+- **embedding cosine**: see ``similarity`` — pairs above a threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import tokens
+
+
+def _hash64(col: Column) -> Column:
+    """Deterministic 48-bit positive hash from md5 hex — chosen (over
+    xxhash64) because DuckDB reproduces it exactly
+    (``cast('0x' || substr(md5(x),1,12) as bigint)``) and because 48 bits
+    leaves headroom for universal-hash arithmetic without bigint overflow
+    in either engine."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+# ----------------------------------------------------------------- exact dups
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: (fingerprint, canonical_id, dup_id)
+    for every non-canonical member."""
+    h = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("h"))
+    canon = h.groupBy("h").agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n"))
+    return (
+        h.join(canon.where("n > 1"), "h")
+        .where(F.col(id_col) != F.col("canonical_id"))
+        .select(F.col("h").alias("fingerprint"), "canonical_id", F.col(id_col).alias("dup_id"))
+    )
+
+
+# -------------------------------------------------------------------- minhash
+
+def minhash_signature(
+    text: Column, n_hashes: int = 16, prime: int = 1000000007
+) -> Column:
+    """MinHash over the document's distinct token set.
+
+    Universal-hash family h_i(x) = (a_i * H(x) + b_i) mod p over the 48-bit
+    base hash; a_i/b_i are fixed odd constants so both engines (and every
+    replay) agree. Array-expression only — no shuffle, no UDF.
+    """
+    toks = F.array_distinct(tokens(text))
+    base = F.transform(toks, lambda t: _hash64(t))
+
+    def universal(a: int, b: int):
+        # NB: capture by closure, not default args — pyspark derives the HOF
+        # lambda arity from the Python signature.
+        return lambda h: (h * a + b) % prime
+
+    sig = [
+        F.array_min(F.transform(base, universal(2 * i + 1, 1000003 * (i + 1))))
+        for i in range(n_hashes)
+    ]
+    return F.array(*sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via banded LSH + signature verification.
+
+    shingle -> minhash -> band -> bucket-join: two docs are candidates when
+    any band of ``n_hashes/bands`` consecutive signature slots matches
+    exactly; candidates are kept when the full-signature agreement fraction
+    (the MinHash Jaccard estimate) reaches ``threshold``.
+    Returns (a_id, b_id, est_jaccard) with a_id < b_id.
+    """
+    rows = bands and n_hashes // bands
+    sigs = df.select(
+        F.col(id_col).alias("id"), minhash_signature(F.col(text_col), n_hashes).alias("sig")
+    )
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.array(*[
+                F.hash(*[F.element_at("sig", i + 1) for i in range(b * rows, (b + 1) * rows)])
+                for b in range(bands)
+            ])
+        ).alias("band", "band_hash"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"),
+            F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    ) / F.lit(float(n_hashes))
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 4))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("a_id", "b_id", "est_jaccard")
+    )
+
+
+# -------------------------------------------------------------------- simhash
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash over tokens: per-bit majority vote of token hashes.
+    Pure array/bit expressions (shiftright + bitwise and)."""
+    toks = tokens(text)
+    hashes = F.transform(toks, lambda t: _hash64(t))
+
+    def bit_vote(j: int):
+        return lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
+
+    bits = []
+    for j in range(48):  # 48 usable bits of the md5-derived hash
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), bit_vote(j))
+        bits.append(F.when(vote > 0, F.lit(1).cast("long") * (2 ** j)).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def simhash_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Docs sharing an identical simhash (strong near-dup signal)."""
+    s = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    return (
+        s.alias("a")
+        .join(s.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"), F.col("a.sh").alias("simhash"))
+    )
+
+
+# -------------------------------------------------------------- token jaccard
+
+def token_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over distinct-token sets for all pairs above threshold —
+    the exact (quadratic) verifier; at scale, run it only on LSH candidates."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    )
+    sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        toks.alias("a")
+        .join(toks.alias("b"), (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.alias("sa"), F.col("a_id") == F.col("sa.id"))
+        .join(sizes.alias("sb"), F.col("b_id") == F.col("sb.id"))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")), 4),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )

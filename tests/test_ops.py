@@ -1,0 +1,137 @@
+"""Unit tests for the training-data operators (dedup / similarity / text /
+multimodal plumbing)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from singer_target_clickhouse_spark.ops import dedup as D
+from singer_target_clickhouse_spark.ops import similarity as S
+from singer_target_clickhouse_spark.ops import text as TX
+from singer_target_clickhouse_spark.ops.multimodal import decode_features, frame_sample_plan
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog"),  # near dup
+        (4, "completely different content about spark engines and data"),
+        (5, "le chat est sur la table et il est content"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    out = D.exact_duplicates(docs).collect()
+    assert [(r["canonical_id"], r["dup_id"]) for r in out] == [(1, 2)]
+
+
+def test_minhash_near_dup(docs):
+    pairs = D.minhash_lsh_pairs(docs.where("doc_id <= 4"), threshold=0.5)
+    got = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+    assert (1, 2) in got  # identical docs always collide at est 1.0
+    assert all(p != (1, 4) and p != (2, 4) for p in got)
+
+
+def test_token_jaccard(docs):
+    out = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in D.token_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert out[(1, 2)] == 1.0
+    assert 0.7 < out[(1, 3)] < 1.0
+
+
+def test_simhash_identical_docs_equal(docs):
+    out = {r["doc_id"]: r["sh"] for r in docs.where("doc_id <= 4").select(
+        "doc_id", D.simhash64(F.col("text")).alias("sh")).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[4]
+
+
+def test_lang_id(docs, spark):
+    out = {r["doc_id"]: r["lang"] for r in docs.select(
+        "doc_id", TX.lang_id(F.col("text")).alias("lang")).collect()}
+    assert out[1] == "en"
+    assert out[5] == "fr"
+    assert out[6] == "und"
+
+
+def test_quality_and_tokens(docs):
+    row = docs.where("doc_id = 1").select(
+        TX.token_count(F.col("text")).alias("n"),
+        TX.quality_score(F.col("text")).alias("q"),
+        TX.bpe_ish_token_count(F.col("text")).alias("bpe"),
+    ).collect()[0]
+    assert row["n"] == 9
+    assert 0 < row["q"] <= 1
+    assert row["bpe"] >= row["n"]
+    empty = docs.where("doc_id = 6").select(TX.token_count(F.col("text")).alias("n")).collect()[0]
+    assert empty["n"] == 0
+
+
+def test_cosine_topk_selfconsistency(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),   # closest to 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),  # opposite of 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = S.cosine_topk(df, df.where("vec_id = 1"), k=3).collect()
+    order = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert order == [2, 3, 4]
+
+
+def test_cosine_pairs_threshold(spark):
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.01]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r["a_id"], r["b_id"]) for r in S.cosine_pairs(df, threshold=0.95).collect()}
+    assert got == {(1, 2)}
+
+
+def test_lsh_ann_matches_exact_on_easy_data(spark):
+    # clusters far apart: bucket ANN must find the same top-1 as brute force
+    import math
+    rows = []
+    for i in range(30):
+        base = [0.0] * 8
+        base[i % 4] = 1.0
+        base[(i % 4 + 1) % 8] = 0.1 * (i % 3)
+        rows.append((i, [v + 0.001 * i for v in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in S.cosine_topk(df, df.where("vec_id < 4"), k=1).collect()}
+    approx = {(r["query_id"], r["rank"]): r["neighbor_id"]
+              for r in S.lsh_bucket_ann(df, df.where("vec_id < 4"), dim=8, k=1, n_planes=4).collect()}
+    hits = sum(1 for k in exact if approx.get(k) == exact[k])
+    assert hits >= 2  # approximate, but must find most of the easy ones
+
+
+def test_multimodal_plumbing(spark):
+    rows = [
+        (1, "image", "image/png", bytearray(b"\x00\x10\x00\x20abcdef"), {"w": "16"}),
+        (2, "audio", "audio/wav", bytearray(b"0123456789"), {}),
+        (3, "video", "video/mp4", bytearray(b"x" * 2500), {"duration_ms": "2500"}),
+        (4, "image", "image/png", None, {}),
+    ]
+    df = spark.createDataFrame(rows, schema="asset_id long, kind string, mime string, payload binary, meta map<string,string>")
+    feats = {r["asset_id"]: r for r in decode_features(df).collect()}
+    assert feats[1]["width"] == 16 and feats[1]["height"] == 32
+    assert feats[2]["duration_ms"] == 10
+    assert len(feats[1]["feature"]) == 8
+    assert feats[4]["n_bytes"] == 0
+
+    frames = frame_sample_plan(df, every_ms=1000).collect()
+    assert [(r["asset_id"], r["offset_ms"]) for r in frames] == [(3, 0), (3, 1000), (3, 2000)]
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    df = spark.createDataFrame(
+        [(1, "image", "image/png", bytearray(b"ab"), {})],
+        schema="asset_id long, kind string, mime string, payload binary, meta map<string,string>",
+    )
+    with pytest.raises(Exception, match="codec"):
+        decode_features(df, fake_decode=False).collect()
