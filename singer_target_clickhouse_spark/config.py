@@ -64,3 +64,7 @@ class Config:
     #: streams finalize concurrently (driver-side thread pool submitting
     #: independent Spark jobs).
     finalize_concurrency: int = 3
+
+    #: Emit per-batch per-table lineage records (source offset range, rows,
+    #: merge stats) to ``<lake>/_metrics/metrics.jsonl``.
+    emit_lineage: bool = True

@@ -118,6 +118,21 @@ class SingerEngine:
         self.run_id = run_id or uuid.uuid4().hex
         self.streams: dict[str, StreamState] = {}
 
+    # ---------------------------------------------------------------- lineage
+    def _emit_metrics(self, record: dict) -> None:
+        """Per-batch per-table lineage record (north-star requirement):
+        source offset range, rows applied, merge stats — appended to
+        ``<lake>/_metrics/metrics.jsonl`` so operators can audit exactly
+        which offsets produced which table snapshot."""
+        d = os.path.join(self.config.lake_root, "_metrics")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "metrics.jsonl"), "a") as fh:
+            fh.write(json.dumps(record) + "\n")
+
+    def read_metrics(self) -> "DataFrame":
+        path = os.path.join(self.config.lake_root, "_metrics", "metrics.jsonl")
+        return self.spark.read.json(path)
+
     # ------------------------------------------------------------- DDL layer
     def _ch_columns_for(self, meta: TableMeta) -> list[dict]:
         cols = [
@@ -315,6 +330,9 @@ class SingerEngine:
         """records / deletes: (record string, _seq long) for ONE stream.
         ``bounds`` (min seq, max seq over records+deletes) is precomputed by
         the batch-level stats pass when available (one job instead of two)."""
+        import time as _time
+
+        t_start = _time.time()
         meta = state.meta
         if bounds is None:
             both = records if deletes is None else records.unionByName(deletes)
@@ -413,6 +431,27 @@ class SingerEngine:
         self.catalog.commit_snapshot(meta.table_name, root_snap)
         if multi_node:
             records.unpersist()
+        if self.config.emit_lineage:
+            import time as _time
+
+            # parquet-footer-only count over the (touched slice of the) table
+            rows_after = self.catalog.read(
+                meta.table_name, buckets=touched, snap=root_snap
+            ).count()
+            self._emit_metrics(
+                {
+                    "run_id": self.run_id,
+                    "stream": meta.prop,
+                    "table": meta.table_name,
+                    "seq_lo": lo,
+                    "seq_hi": hi,
+                    "snapshot_id": root_snap.snapshot_id,
+                    "engine": root_snap.engine,
+                    "buckets_touched": len(touched) if touched is not None else None,
+                    "rows_in_touched_buckets": rows_after,
+                    "wall_sec": round(_time.time() - t_start, 3),
+                }
+            )
 
         # D3 per-batch: clean child orphans in the touched buckets.
         if self.config.orphan_delete_per_batch and meta.children and root_snap.engine == "replacing":

@@ -113,15 +113,35 @@ def change_events_df(
     return schema_line.unionByName(events)
 
 
-def write_jsonl(df: DataFrame, out_dir: str, n_files: int = 8) -> str:
+def write_jsonl(df: DataFrame, out_dir: str, n_files: int = 8, with_offsets: bool = False) -> str:
     """Materialize the message stream as text files (a file-backed change
-    log; the streaming driver tails the directory)."""
+    log; the streaming driver tails the directory).
+
+    ``with_offsets=True`` prefixes every line with ``<seq>\\t`` — a change
+    log that carries its own durable offsets (like a binlog position or
+    Kafka offset), which lets the streaming driver recover ``_seq``
+    JVM-side instead of zipWithIndex'ing rows through Python.
+    """
     os.makedirs(out_dir, exist_ok=True)
-    (
-        df.orderBy("_seq")
-        .select(F.col("value"))
-        .coalesce(n_files)
-        .write.mode("overwrite")
-        .text(out_dir)
+    out = (
+        # contiguous seq ranges per file, in-file order = seq order, and
+        # part-file numbering follows the range order — so a directory
+        # listing replays the log in offset order
+        df.repartitionByRange(n_files, F.col("_seq"))
+        .sortWithinPartitions("_seq")
     )
+    value = (
+        F.concat(F.col("_seq").cast("string"), F.lit("\t"), F.col("value"))
+        if with_offsets
+        else F.col("value")
+    )
+    out.select(value.alias("value")).write.mode("overwrite").text(out_dir)
+    # FileStreamSource orders new files by modification time; stamp strictly
+    # increasing mtimes in part order so micro-batches replay the log in
+    # offset order (all parts otherwise share one mtime and the order is
+    # undefined, which would scramble seqs across batches).
+    parts = sorted(f for f in os.listdir(out_dir) if f.startswith("part-"))
+    base = int(os.path.getmtime(os.path.join(out_dir, parts[0]))) if parts else 0
+    for i, p in enumerate(parts):
+        os.utime(os.path.join(out_dir, p), (base + i, base + i))
     return out_dir

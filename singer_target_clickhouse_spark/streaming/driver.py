@@ -40,14 +40,23 @@ class StreamingDriver:
         input_dir: str,
         checkpoint_dir: str,
         max_files_per_trigger: Optional[int] = None,
+        offsets_in_log: bool = False,
     ):
+        """``offsets_in_log=True`` declares the log format carries its own
+        offsets (lines are ``<seq>\\tmessage``, like a binlog position /
+        Kafka offset) — `_seq` is then recovered with a JVM-side split, the
+        scalable path. Plain logs fall back to zipWithIndex (per-row Python
+        serialization — fine for fixtures, not for 10^10 events)."""
         self.spark = spark
         self.config = config
         self.input_dir = input_dir
         self.checkpoint_dir = checkpoint_dir
         self.max_files_per_trigger = max_files_per_trigger
+        self.offsets_in_log = offsets_in_log
         os.makedirs(checkpoint_dir, exist_ok=True)
         self.engine = SingerEngine(spark, config, run_id=self._pinned_run_id())
+        #: wall seconds per processed micro-batch (bench / scaling evidence)
+        self.batch_times: list[float] = []
 
     # ------------------------------------------------------------- run-id pin
     def _pinned_run_id(self) -> str:
@@ -83,11 +92,31 @@ class StreamingDriver:
 
     # ------------------------------------------------------------------ batch
     def _apply_batch(self, batch: DataFrame, batch_id: int) -> None:
-        # Deterministic intra-batch order: the file source redelivers an
-        # uncommitted batch with the identical file set (checkpoint WAL), and
-        # partition planning over that set is deterministic, so zipWithIndex
-        # reproduces identical line numbers on replay. A Kafka source would
-        # replace this with its native offset.
+        import time as _time
+
+        t0 = _time.time()
+        try:
+            self._apply_batch_inner(batch, batch_id)
+        finally:
+            self.batch_times.append(_time.time() - t0)
+
+    def _apply_batch_inner(self, batch: DataFrame, batch_id: int) -> None:
+        if self.offsets_in_log:
+            # The log carries durable offsets (binlog/Kafka style): recover
+            # them JVM-side — no Python in the row path, replay-stable by
+            # construction, no sidecar bookkeeping needed.
+            split = F.split(F.col("value"), "\t", 2)
+            lines = batch.select(
+                F.element_at(split, 2).alias("value"),
+                F.element_at(split, 1).cast("long").alias(SEQ_COL),
+            )
+            self.engine.apply_lines(lines)
+            return
+        # Plain logs: deterministic intra-batch order — the file source
+        # redelivers an uncommitted batch with the identical file set
+        # (checkpoint WAL), and partition planning over that set is
+        # deterministic, so zipWithIndex reproduces identical line numbers
+        # on replay. Row-serialization cost makes this the fixture path only.
         indexed = batch.rdd.map(lambda r: r["value"]).zipWithIndex()
         lines = batch.sparkSession.createDataFrame(indexed, f"value string, {SEQ_COL} long")
         n = lines.count()
