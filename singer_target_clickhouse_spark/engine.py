@@ -573,11 +573,15 @@ class SingerEngine:
     def finalize(self) -> None:
         """Reference F2 (StreamProcessor.ts:97-119): per stream — orphan
         delete (dedup already happened at merge time) + PK integrity assert.
-        Skipped for streams that started clean, like the reference."""
-        for state in self.streams.values():
+        Skipped for streams that started clean, like the reference. Streams
+        finalize concurrently (F3, ``finalize_concurrency``) — independent
+        Spark jobs submitted from a driver-side thread pool."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        def finalize_stream(state: StreamState) -> None:
             meta = state.meta
             if state.started_clean:
-                continue
+                return
             if meta.has_replacing_semantics and meta.children and not self.config.orphan_delete_per_batch:
                 self._delete_orphans(meta)
             if self.config.assert_pk_integrity:
@@ -585,6 +589,15 @@ class SingerEngine:
                     keys = [c.name for c in node.pk_columns]
                     if keys:
                         M.assert_pk_integrity(self.catalog, node.table_name, keys=keys)
+
+        states = list(self.streams.values())
+        if len(states) <= 1 or self.config.finalize_concurrency <= 1:
+            for s in states:
+                finalize_stream(s)
+            return
+        with ThreadPoolExecutor(max_workers=self.config.finalize_concurrency) as pool:
+            for fut in [pool.submit(finalize_stream, s) for s in states]:
+                fut.result()
 
     # ------------------------------------------------------------ file replay
     def run_file(self, path: str, finalize: bool = True) -> None:
