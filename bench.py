@@ -54,8 +54,12 @@ def bench_cdc_replay(spark, sf_dir: str, n_files: int = 8, files_per_trigger: in
     from singer_target_clickhouse_spark.gen import REPO_STREAM, change_events_df, write_jsonl
     from singer_target_clickhouse_spark.streaming import StreamingDriver
 
-    n = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-    events = change_events_df(spark, n, n_repos=200, paths_per_repo=2000)
+    n = int(os.environ.get("STCS_BENCH_EVENTS", "0")) or (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    )
+    content_len = int(os.environ.get("STCS_BENCH_CONTENT_LEN", "64"))
+    events = change_events_df(spark, n, n_repos=200, paths_per_repo=2000,
+                              content_len=content_len)
     log_dir = write_jsonl(events, tempfile.mkdtemp(prefix="stcs_bench_log_"),
                           n_files=n_files, with_offsets=True)
     lake = tempfile.mkdtemp(prefix="stcs_bench_lake_")
@@ -64,17 +68,22 @@ def bench_cdc_replay(spark, sf_dir: str, n_files: int = 8, files_per_trigger: in
         spark, Config(lake_root=lake, n_buckets=32), log_dir, ckpt,
         max_files_per_trigger=files_per_trigger, offsets_in_log=True,
     )
+    os.sync()  # flush the generated log before the timed window
     t0 = time.time()
     driver.run_available()
     elapsed = time.time() - t0
     rows = driver.engine.catalog.row_count(REPO_STREAM)
     bt = driver.batch_times
-    steady = bt[1:] or bt
+    steady = sorted(bt[1:] or bt)
+    median = steady[len(steady) // 2]
     per_batch = (n + 1) / max(len(bt), 1)
     return elapsed, {
         "events": n + 1,
         "events_per_sec": round((n + 1) / elapsed, 1),
         "steady_events_per_sec": round(per_batch * len(steady) / sum(steady), 1),
+        # robust to this VM's multi-second IO stalls: throughput at the
+        # median post-warmup batch
+        "median_batch_events_per_sec": round(per_batch / median, 1),
         "batch_times": [round(b, 2) for b in bt],
         "final_rows": rows,
     }

@@ -473,87 +473,92 @@ class SingerEngine:
 
     # ------------------------------------------------------------ batch entry
     def apply_lines(self, lines: DataFrame) -> None:
-        """Apply one micro-batch of Singer lines (columns: value, _seq)."""
+        """Apply one micro-batch of Singer lines (columns: value, _seq).
+
+        Exactly ONE driver round-trip precedes the per-stream merges: a
+        single job returns the (rare) control messages AND the per-stream
+        seq-bound/delete-count stats, grouped-aggregated map-side. The
+        record/delete payloads never leave the executors.
+        """
         parsed = lines.select(
             F.from_json("value", _ENVELOPE).alias("m"), F.col(SEQ_COL), F.col("value")
-        ).select("m.type", "m.stream", "m.record", F.col("m.value").alias("state_value"),
-                 F.col(SEQ_COL), F.col("value").alias("raw"))
+        ).select("m.type", "m.stream", "m.record", F.col(SEQ_COL), F.col("value").alias("raw"))
         parsed = parsed.cache()
-        try:
-            control = sorted(
-                (
-                    r
-                    for r in parsed.where(
-                        F.col("type").isin("SCHEMA", "STATE", "ACTIVE_STREAMS")
-                    ).select("type", "raw", SEQ_COL).collect()
-                ),
-                key=lambda r: r[SEQ_COL],
-            )
 
-            schema_seqs: dict[str, int] = {}
-            last_state = None
-            active_streams = None
-            for r in control:
-                msg = json.loads(r["raw"])
-                if r["type"] == "SCHEMA":
-                    known_before = msg["stream"] in self.streams
-                    self._process_schema_message(msg)
-                    if not known_before:
-                        schema_seqs[msg["stream"]] = r[SEQ_COL]
-                elif r["type"] == "STATE":
-                    last_state = msg.get("value")
-                elif r["type"] == "ACTIVE_STREAMS":
-                    active_streams = msg.get("streams", [])
+        # union of two tiny projections: control rows carry their raw line,
+        # stats rows carry aggregates — one action for both (which also
+        # materializes the parse cache the merges below reuse).
+        control_df = parsed.where(
+            F.col("type").isin("SCHEMA", "STATE", "ACTIVE_STREAMS")
+        ).select(F.col("type"), F.col("stream"), F.col("raw"), F.col(SEQ_COL).alias("lo"),
+                 F.col(SEQ_COL).alias("hi"), F.lit(1).alias("n"))
+        stats_df = (
+            parsed.where(~F.col("type").isin("SCHEMA", "STATE", "ACTIVE_STREAMS") | F.col("type").isNull())
+            .groupBy("stream", "type")
+            .agg(F.min(SEQ_COL).alias("lo"), F.max(SEQ_COL).alias("hi"), F.count("*").alias("n"))
+            .select(F.col("type"), F.col("stream"), F.lit(None).cast("string").alias("raw"),
+                    "lo", "hi", "n")
+        )
+        rows = control_df.unionByName(stats_df).collect()
 
-            records = parsed.where(F.col("type") == "RECORD")
-            deletes = parsed.where(F.col("type") == "DELETED_RECORD")
-            # One stats job for the whole batch: per-stream seq bounds and
-            # delete counts for RECORD/DELETED_RECORD, plus unknown-type
-            # counts (reference warn-and-skip, processStream.ts:119-121).
-            stats_rows = (
-                parsed.groupBy("stream", "type")
-                .agg(F.min(SEQ_COL).alias("lo"), F.max(SEQ_COL).alias("hi"), F.count("*").alias("n"))
-                .collect()
-            )
-            stream_stats: dict[str, list] = {}
-            for r in stats_rows:
-                if r["type"] in ("RECORD", "DELETED_RECORD"):
-                    cur = stream_stats.setdefault(r["stream"], [r["lo"], r["hi"], 0])
-                    cur[0] = min(cur[0], r["lo"])
-                    cur[1] = max(cur[1], r["hi"])
-                    if r["type"] == "DELETED_RECORD":
-                        cur[2] += r["n"]
-                elif r["type"] not in ("SCHEMA", "STATE", "ACTIVE_STREAMS"):
-                    log.warning(
-                        "Message type not handled: %s x%s (first seq %s)",
-                        r["type"], r["n"], r["lo"],
-                    )
-            for stream, (lo, hi, dels) in sorted(stream_stats.items()):
-                if stream not in self.streams and not self._recover_stream(stream):
-                    raise RecordBeforeSchemaError(
-                        f"Record message received before Schema is defined for [{stream}]"
-                    )
-                if stream in schema_seqs and lo < schema_seqs[stream]:
-                    raise RecordBeforeSchemaError(
-                        f"Record message received before Schema is defined for [{stream}]"
-                    )
-                self._apply_stream_records(
-                    self.streams[stream],
-                    records.where(F.col("stream") == stream).select("record", SEQ_COL),
-                    deletes=(
-                        deletes.where(F.col("stream") == stream).select("record", SEQ_COL)
-                        if dels
-                        else None
-                    ),
-                    bounds=(lo, hi),
+        control = sorted((r for r in rows if r["raw"] is not None), key=lambda r: r["lo"])
+        schema_seqs: dict[str, int] = {}
+        last_state = None
+        active_streams = None
+        for r in control:
+            msg = json.loads(r["raw"])
+            if r["type"] == "SCHEMA":
+                known_before = msg["stream"] in self.streams
+                self._process_schema_message(msg)
+                if not known_before:
+                    schema_seqs[msg["stream"]] = r["lo"]
+            elif r["type"] == "STATE":
+                last_state = msg.get("value")
+            elif r["type"] == "ACTIVE_STREAMS":
+                active_streams = msg.get("streams", [])
+
+        stream_stats: dict[str, list] = {}
+        for r in rows:
+            if r["raw"] is not None:
+                continue
+            if r["type"] in ("RECORD", "DELETED_RECORD"):
+                cur = stream_stats.setdefault(r["stream"], [r["lo"], r["hi"], 0])
+                cur[0] = min(cur[0], r["lo"])
+                cur[1] = max(cur[1], r["hi"])
+                if r["type"] == "DELETED_RECORD":
+                    cur[2] += r["n"]
+            else:
+                # reference warn-and-skip (processStream.ts:119-121)
+                log.warning("Message type not handled: %s x%s (first seq %s)",
+                            r["type"], r["n"], r["lo"])
+
+        records = parsed.where(F.col("type") == "RECORD")
+        deletes = parsed.where(F.col("type") == "DELETED_RECORD")
+        for stream, (lo, hi, dels) in sorted(stream_stats.items()):
+            if stream not in self.streams and not self._recover_stream(stream):
+                raise RecordBeforeSchemaError(
+                    f"Record message received before Schema is defined for [{stream}]"
                 )
+            if stream in schema_seqs and lo < schema_seqs[stream]:
+                raise RecordBeforeSchemaError(
+                    f"Record message received before Schema is defined for [{stream}]"
+                )
+            self._apply_stream_records(
+                self.streams[stream],
+                records.where(F.col("stream") == stream).select("record", SEQ_COL),
+                deletes=(
+                    deletes.where(F.col("stream") == stream).select("record", SEQ_COL)
+                    if dels
+                    else None
+                ),
+                bounds=(lo, hi),
+            )
 
-            if last_state is not None:
-                self._write_state(last_state)
-            if active_streams is not None:
-                self._retire_inactive(active_streams)
-        finally:
-            parsed.unpersist()
+        if last_state is not None:
+            self._write_state(last_state)
+        if active_streams is not None:
+            self._retire_inactive(active_streams)
+        parsed.unpersist()
 
     def _write_state(self, value) -> None:
         path = os.path.join(self.config.lake_root, "_state.json")

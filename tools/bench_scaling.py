@@ -30,6 +30,11 @@ def run_once(sf_dir: str, cpus: int) -> dict:
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_CPUS=str(cpus),
         STCS_BENCH_ONLY="cdc_replay",
+        # Scaling evidence needs a compute-bound batch: more events and
+        # realistic file-content sizes so per-batch driver overhead (a
+        # parallelism-independent constant) doesn't mask executor scaling.
+        STCS_BENCH_EVENTS=os.environ.get("STCS_BENCH_EVENTS", "2400000"),
+        STCS_BENCH_CONTENT_LEN=os.environ.get("STCS_BENCH_CONTENT_LEN", "128"),
     )
     out = subprocess.run(
         [sys.executable, os.path.join(ROOT, "bench.py")],
@@ -41,7 +46,7 @@ def run_once(sf_dir: str, cpus: int) -> dict:
 
 def best(sf_dir: str, cpus: int, repeats: int) -> dict:
     runs = [run_once(sf_dir, cpus) for _ in range(repeats)]
-    return max(runs, key=lambda r: r["extra"]["steady_events_per_sec"])
+    return max(runs, key=lambda r: r["extra"]["median_batch_events_per_sec"])
 
 
 def main():
@@ -50,8 +55,8 @@ def main():
     repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     lo = best(sf_dir, n, repeats)
     hi = best(sf_dir, 4 * n, repeats)
-    eps_lo = lo["extra"]["steady_events_per_sec"]
-    eps_hi = hi["extra"]["steady_events_per_sec"]
+    eps_lo = lo["extra"]["median_batch_events_per_sec"]
+    eps_hi = hi["extra"]["median_batch_events_per_sec"]
     raw_lo = lo["extra"]["events_per_sec"]
     raw_hi = hi["extra"]["events_per_sec"]
     eff = round(eps_hi / eps_lo / 4.0, 3)
@@ -66,12 +71,13 @@ log of {lo['extra']['events']} Singer change events over the
 Streaming driver (checkpointed foreachBatch, bucket-pruned MERGE) into a
 fresh lake, separate JVM per run, best of {repeats} runs per level.
 
-Steady-state = excluding each run's first micro-batch (JVM JIT +
-whole-stage-codegen warmup, identical constant at both levels). The sandbox
-VM carries a persistent background load (~8 with no processes of ours
-running), so wall numbers are noisy; batch times are listed raw.
+Throughput is taken at the MEDIAN post-warmup micro-batch (the first batch
+carries JVM JIT + whole-stage-codegen warmup, an identical constant at both
+levels; this sandbox VM also exhibits multi-second IO stalls and a phantom
+background load of ~8, so individual batch walls swing widely — raw batch
+times are listed for transparency).
 
-| parallelism | total wall (s) | overall events/s | steady events/s | batch times (s) |
+| parallelism | total wall (s) | overall events/s | median-batch events/s | batch times (s) |
 | --- | --- | --- | --- | --- |
 | local[{n}] | {lo['queries']['cdc_replay']} | {raw_lo} | {eps_lo} | {lo['extra']['batch_times']} |
 | local[{4*n}] | {hi['queries']['cdc_replay']} | {raw_hi} | {eps_hi} | {hi['extra']['batch_times']} |
