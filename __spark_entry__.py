@@ -222,12 +222,16 @@ def _dedup_minhash_lsh(spark, sf):
 
 
 def _dedup_token_jaccard(spark, sf):
-    return D.token_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.9)
+    """Exact Jaccard verified on MinHash-LSH candidates only (linear in
+    candidate count — the 100 TB composition; the all-pairs exploded-token
+    form remains available as the small-n verifier)."""
+    docs = _t(spark, sf, "documents")
+    cand = D.minhash_lsh_pairs(docs, threshold=0.875)
+    return D.token_jaccard_pairs(docs, threshold=0.9, candidates=cand)
 
 
 def _dedup_simhash(spark, sf):
-    docs = _t(spark, sf, "documents")
-    return docs.select("doc_id", D.simhash64(F.col("text")).alias("simhash"))
+    return D.simhash_profile(_t(spark, sf, "documents"))
 
 
 def _ann_cosine_topk(spark, sf):
@@ -237,7 +241,12 @@ def _ann_cosine_topk(spark, sf):
 
 
 def _dedup_embedding_cosine(spark, sf):
-    return S.cosine_pairs(_t(spark, sf, "embeddings"), threshold=0.35).select("a_id", "b_id")
+    """LSH-bucketed near-dup pairs with exact cosine verify (no all-pairs
+    cartesian, no bench doc cap needed): candidates are pairs within hamming
+    distance <= 1 in 8-plane hyperplane-signature space."""
+    return S.cosine_pairs_lsh(
+        _t(spark, sf, "embeddings"), dim=64, threshold=0.35, n_planes=8
+    ).select("a_id", "b_id")
 
 
 def _similarity_lsh_ann(spark, sf):
@@ -264,13 +273,28 @@ def _multimodal_features(spark, sf):
     )
 
 
+REPLAY_LOG_DUMP = "/tmp/stcs_oracle_replay_log"
+
+
 def _cdc_full_replay(spark, sf):
-    """Non-SQL: end-to-end engine replay (generate -> shred -> merge ->
-    converge); row count scales with sf via the lineitem row count."""
+    """End-to-end engine replay (generate -> shred -> merge -> converge);
+    row count scales with sf via the lineitem row count.
+
+    The generated change log is also dumped to ``REPLAY_LOG_DUMP`` as plain
+    JSONL so DuckDB can independently recompute latest-wins + tombstone
+    semantics from the raw events — this oracles the WHOLE engine (shred,
+    versioned merge, delete ordering, convergence), not just a sub-plan."""
     n = max(2000, _t(spark, sf, "lineitem").count() // 30)
+    events = change_events_df(spark, n, n_repos=50, paths_per_repo=200)
+    events.select(
+        F.concat(
+            F.lit('{"_seq": '), F.col("_seq").cast("string"),
+            F.lit(', "msg": '), F.col("value"), F.lit("}"),
+        ).alias("value")
+    ).coalesce(4).write.mode("overwrite").text(REPLAY_LOG_DUMP)
     lake = tempfile.mkdtemp(prefix="stcs_replay_")
     eng = SingerEngine(spark, Config(lake_root=lake, n_buckets=8))
-    eng.apply_lines(change_events_df(spark, n, n_repos=50, paths_per_repo=200))
+    eng.apply_lines(events)
     eng.finalize()
     return eng.catalog.read(REPO_STREAM).select("repo", "path", "commit", "lang")
 
@@ -329,6 +353,35 @@ def _simhash_sql(bits: int = 48) -> str:
         f"select doc_id, {terms} as simhash "
         f"from (select doc_id, {base} as base from documents)"
     )
+
+
+def _plane_consts(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """The hyperplane components of ``ops.similarity.hyperplane_signature``,
+    recomputed host-side: component(p, j) = (int(md5(f'{seed}:{p}:{j}')[:15],
+    16) % 2001 - 1000) / 1000.0 — bit-identical to Spark's
+    conv(substring(md5(...), 1, 15), 16, 10) % 2001 arithmetic."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{seed}:{p}:{j}".encode()).hexdigest()[:15], 16) % 2001 - 1000)
+            / 1000.0
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _sig_sql(e_expr: str, dim: int, n_planes: int) -> str:
+    """DuckDB expression for the n_planes-bit hyperplane signature of a
+    DOUBLE[] column expression."""
+    terms = []
+    for p, comps in enumerate(_plane_consts(dim, n_planes)):
+        arr = "[" + ", ".join(repr(c) for c in comps) + "]"
+        terms.append(
+            f"(case when list_dot_product({e_expr}, {arr}) >= 0 then {2 ** p} else 0 end)"
+        )
+    return " + ".join(terms)
 
 
 def _lang_id_sql() -> str:
@@ -476,17 +529,26 @@ def oracle_sql() -> dict[str, str]:
             from sig a join sig b on a.doc_id < b.doc_id
             where ({' + '.join(f'(a.sig[{i+1}] = b.sig[{i+1}])::int' for i in range(16))}) >= 14
         """,
+        # exact Jaccard on MinHash-LSH candidates: est >= 0.875 (14/16 slots)
+        # implies >= 2 intact bands of 4, so the band-share predicate is
+        # subsumed — the all-pairs form below is the oracle's O(n^2) luxury,
+        # the Spark plan only ever touches candidate pairs.
         "dedup_token_jaccard": f"""
-            with toks as (select doc_id, unnest(list_distinct({_TOKS})) as tok from documents),
-                 sizes as (select doc_id, count(*) as sz from toks group by doc_id),
-                 inter as (select a.doc_id a_id, b.doc_id b_id, count(*) i
-                           from toks a join toks b on a.tok = b.tok and a.doc_id < b.doc_id
-                           group by 1, 2)
-            select a_id, b_id, round(i * 1.0 / (sa.sz + sb.sz - i), 4) as jaccard
-            from inter
-            join sizes sa on a_id = sa.doc_id
-            join sizes sb on b_id = sb.doc_id
-            where round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.9
+            with sig as ({_minhash_sig_sql()}),
+                 toks as (select doc_id, list_distinct({_TOKS}) as toks from documents),
+                 cand as (
+                   select a.doc_id a_id, b.doc_id b_id
+                   from sig a join sig b on a.doc_id < b.doc_id
+                   where ({' + '.join(f'(a.sig[{i+1}] = b.sig[{i+1}])::int' for i in range(16))}) >= 14)
+            select a_id, b_id,
+                   round(len(list_intersect(ta.toks, tb.toks)) * 1.0 /
+                         (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))), 4)
+                       as jaccard
+            from cand
+            join toks ta on a_id = ta.doc_id
+            join toks tb on b_id = tb.doc_id
+            where round(len(list_intersect(ta.toks, tb.toks)) * 1.0 /
+                        (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))), 4) >= 0.9
         """,
         "dedup_simhash": _simhash_sql(),
         "ann_cosine_topk": """
@@ -503,11 +565,62 @@ def oracle_sql() -> dict[str, str]:
                    where q.vec_id < 20)
             select query_id, neighbor_id, rank from scored where rank <= 5
         """,
-        "dedup_embedding_cosine": """
-            with v as (select vec_id, embedding::DOUBLE[] as e from embeddings)
-            select a.vec_id as a_id, b.vec_id as b_id
-            from v a join v b on a.vec_id < b.vec_id
-            where round(list_dot_product(a.e, b.e) /
-                        (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.35
+        "dedup_embedding_cosine": f"""
+            with v as (select vec_id, embedding::DOUBLE[] as e from embeddings),
+                 s as (select vec_id, e, {_sig_sql('e', 64, 8)} as sig from v),
+                 probes as (
+                   select vec_id as b_id, e as be,
+                          unnest([sig, {', '.join(f'xor(sig, {1 << p})' for p in range(8))}]) as probe
+                   from s)
+            select a.vec_id as a_id, b.b_id as b_id
+            from s a join probes b on a.sig = b.probe and a.vec_id < b.b_id
+            where round(list_dot_product(a.e, b.be) /
+                        (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.be, b.be))), 4) >= 0.35
+        """,
+        "similarity_lsh_ann": f"""
+            with v as (select vec_id, embedding::DOUBLE[] as e from embeddings),
+                 s as (select vec_id, e, {_sig_sql('e', 64, 8)} as sig from v),
+                 scored as (
+                   select q.vec_id as query_id, n.vec_id as neighbor_id,
+                          row_number() over (
+                            partition by q.vec_id
+                            order by list_dot_product(q.e, n.e) /
+                                     (sqrt(list_dot_product(q.e, q.e)) *
+                                      sqrt(list_dot_product(n.e, n.e))) desc,
+                                     n.vec_id) as rank
+                   from s q join s n on q.sig = n.sig and q.vec_id <> n.vec_id
+                   where q.vec_id < 20)
+            select query_id, neighbor_id, rank from scored where rank <= 5
+        """,
+        "multimodal_features": """
+            select doc_id as asset_id,
+                   case when doc_id % 3 = 0 then 'image'
+                        when doc_id % 3 = 1 then 'audio'
+                        else 'video' end as kind,
+                   cast(octet_length(encode(text)) as int) as n_bytes,
+                   cast(case when doc_id % 3 = 0 then null
+                             else octet_length(encode(text)) end as int) as duration_ms
+            from documents
+        """,
+        # independent recomputation of the engine's CDC semantics from the
+        # dumped raw change log: latest event per (repo, path) wins; a key
+        # whose latest event is a DELETED_RECORD does not survive.
+        "cdc_full_replay": f"""
+            with ev as (
+              select _seq, msg.type as type, msg.record.repo as repo,
+                     msg.record.path as path, msg.record."commit" as "commit",
+                     msg.record.lang as lang
+              from read_json('{REPLAY_LOG_DUMP}/part-*',
+                             format='newline_delimited',
+                             columns={{'_seq': 'BIGINT',
+                                      'msg': 'STRUCT(type VARCHAR, stream VARCHAR,
+                                              record STRUCT(repo VARCHAR, path VARCHAR,
+                                              "commit" VARCHAR, lang VARCHAR, content VARCHAR))'}})
+              where msg.type in ('RECORD', 'DELETED_RECORD')),
+                 latest as (
+              select * from (
+                select *, row_number() over (partition by repo, path order by _seq desc) rn
+                from ev) where rn = 1)
+            select repo, path, "commit", lang from latest where type = 'RECORD'
         """,
     }

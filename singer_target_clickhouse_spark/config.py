@@ -46,9 +46,11 @@ class Config:
     #: 100 TB you want O(10k) buckets so a bucket is a few hundred MB.
     n_buckets: int = 32
 
-    #: Salt factor for the pre-merge repartition on hot keys: the batch is
-    #: repartitioned on (bucket, salt) before the per-PK dedup window so a
-    #: hot (repo, path) cannot pin a single task.
+    #: Legacy knob, kept for API compat and documentation: hot-key skew in
+    #: the merge is defused by the ``max_by`` hash aggregate's map-side
+    #: partial combine (each input partition pre-collapses its share of a hot
+    #: (repo, path) key before the exchange), which subsumes explicit
+    #: (bucket, salt) repartitioning.
     skew_salt: int = 4
 
     #: Run the child-orphan delete (reference D3, ``StreamProcessor.ts:148-169``)

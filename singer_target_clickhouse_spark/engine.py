@@ -53,7 +53,7 @@ from .schema.translator import (
     expected_columns,
     to_qualified_type,
 )
-from .shred import SEQ_COL, shred_stream
+from .shred import SEQ_COL, _translate_scalar, shred_stream
 
 log = logging.getLogger(__name__)
 
@@ -70,6 +70,56 @@ _ENVELOPE = T.StructType(
 
 class RecordBeforeSchemaError(RuntimeError):
     pass
+
+
+def with_line_offsets(df: DataFrame, value_col: str = "value") -> tuple[DataFrame, int]:
+    """Assign a strictly-monotone line offset (``_seq``) to each row of a
+    text scan WITHOUT Python in the row path (the input_hint forbids per-row
+    Python; ``rdd.zipWithIndex`` serializes every line through the Python
+    worker).
+
+    JVM equivalent of zipWithIndex: ``monotonically_increasing_id`` encodes
+    ``(partition_id << 33) + local_row``, so the local row number recovers
+    arithmetically; one tiny O(partitions) count job yields each partition's
+    global base offset, broadcast back as a join. Deterministic for a fixed
+    file set (Spark's split planning is stable), which is what replay
+    convergence needs. Returns (df[value, _seq], total_rows)."""
+    spark = df.sparkSession
+    staged = df.select(
+        F.col(value_col),
+        F.spark_partition_id().alias("__p"),
+        F.monotonically_increasing_id().alias("__m"),
+    )
+    counts = sorted(
+        staged.groupBy("__p").count().collect(), key=lambda r: r["__p"]
+    )
+    bases, total = [], 0
+    for r in counts:
+        bases.append((r["__p"], total))
+        total += r["count"]
+    if not bases:
+        return df.select(F.col(value_col), F.lit(0).cast("long").alias(SEQ_COL)).limit(0), 0
+    bdf = spark.createDataFrame(bases, "__p int, __base long")
+    local = F.col("__m") - F.col("__p").cast("long") * F.lit(1 << 33)
+    out = staged.join(F.broadcast(bdf), "__p").select(
+        F.col(value_col), (F.col("__base") + local).alias(SEQ_COL)
+    )
+    return out, total
+
+
+def _is_falsy_cleaning_value(v: str, json_type: Optional[str]) -> bool:
+    """Reference skips JS-falsy cleaning values (``record[cleaningColumn] &&``,
+    ``StreamProcessor.ts:70-81``): 0, false, "" never trigger a wipe. ``v`` is
+    the JSON-text form from get_json_object; falsiness is judged per the
+    column's declared JSON type."""
+    if json_type in ("integer", "number"):
+        try:
+            return float(v) == 0.0
+        except ValueError:
+            return False
+    if json_type == "boolean":
+        return v not in ("true", "1")
+    return v == ""
 
 
 @dataclass
@@ -188,6 +238,10 @@ class SingerEngine:
         required = expected_columns(meta)
         inter = columns_intersection(existing, required)
         if meta.is_root:
+            # Root only, matching the reference exactly: updateSchema recurses
+            # per node but guards the PK check with `if (isRoot)`
+            # (jsonSchemaTranslator.ts:186-188); child-node key changes flow
+            # through the column diff, as they do there.
             check_primary_keys_consistency(existing, meta)
         dirty = False
         for col in inter["missing"]:
@@ -302,18 +356,33 @@ class SingerEngine:
     def _tombstones(self, meta: TableMeta, deletes: DataFrame, run_base: int) -> DataFrame:
         """DELETED_RECORD payloads -> tombstone rows carrying the table schema
         plus a true ``__ts`` flag; they enter the versioned merge so ordering
-        vs RECORDs of the same key is exact (reference D4, upgraded)."""
+        vs RECORDs of the same key is exact (reference D4, upgraded).
+
+        With ``translate_values`` on, key fields parse as raw strings and go
+        through the same ``_translate_scalar`` coercion as record keys — the
+        reference applies one valueTranslator to both paths
+        (``DeletedRecordProcessor.ts`` extractValue), so a string-encoded key
+        like ``{"id": "5"}`` must delete the row record-keyed as ``id=5``."""
         pks = meta.pks_of(PKType.CURRENT)
         if not pks:
             raise ValueError(
                 f"[{meta.prop}] cannot push deleted record to a stream without pk mapping"
             )
+        translate = self.config.translate_values
         key_schema = T.StructType(
-            [T.StructField(p.prop, p.spark_type or T.StringType()) for p in pks]
+            [
+                T.StructField(
+                    p.prop, T.StringType() if translate else (p.spark_type or T.StringType())
+                )
+                for p in pks
+            ]
         )
         cols = [F.from_json("record", key_schema).alias("k"), F.col(SEQ_COL)]
         out = deletes.select(*cols)
-        sel = [F.col(f"k.{p.prop}").alias(p.name) for p in pks]
+        if translate:
+            sel = [_translate_scalar(F.col(f"k.{p.prop}"), p).alias(p.name) for p in pks]
+        else:
+            sel = [F.col(f"k.{p.prop}").alias(p.name) for p in pks]
         for c in meta.simple_columns:
             sel.append(F.lit(None).cast(c.spark_field_type()).alias(c.name))
         sel.append((F.col(SEQ_COL) + F.lit(run_base + 1)).cast("long").alias(meta.version_column))
@@ -368,25 +437,62 @@ class SingerEngine:
                     F.get_json_object(F.col("record"), f"$.{meta.cleaning_column}").alias("v")
                 ).distinct().collect()
                 if r["v"] is not None
+                and not _is_falsy_cleaning_value(r["v"], cleaning_spec.json_type)
             }
             new_vals = vals - state.cleaned_values
             if new_vals:
+                # Compare on the TRANSLATED value (same coercion the shredder
+                # applies to records), not a string cast — typed cleaning
+                # columns (dates, booleans, numbers) must match their stored
+                # form (advisor fix; reference extracts via the record value).
+                def typed_lit(v: str):
+                    if self.config.translate_values:
+                        return _translate_scalar(F.lit(v), cleaning_spec)
+                    return F.lit(v).cast(cleaning_spec.spark_field_type())
+
+                cond = F.lit(False)
+                for v in sorted(new_vals):
+                    cond = cond | (F.col(cleaning_spec.name) == typed_lit(v))
+                # coalesce: a NULL cleaning value must read "not matched",
+                # not poison delete_where's ``where(~cond)`` filter.
+                cond = F.coalesce(cond, F.lit(False))
                 snap = self.catalog.snapshot(meta.table_name)
-                snap = M.delete_where(
-                    self.catalog, meta.table_name,
-                    F.col(cleaning_spec.name).cast("string").isin(*sorted(new_vals)),
-                    snap=snap,
-                )
+                snap = M.delete_where(self.catalog, meta.table_name, cond, snap=snap)
                 snap.cleaned_values = sorted(state.cleaned_values | new_vals)
                 self.catalog.commit_snapshot(meta.table_name, snap)
                 state.cleaned_values |= new_vals
                 root_snap = self.catalog.snapshot(meta.table_name)
+                if meta.children:
+                    # The wipe rewrote root rows across ALL buckets; the
+                    # per-batch orphan delete below only covers this batch's
+                    # touched buckets, so sweep children table-wide now or
+                    # wiped roots would leave permanently stale child rows
+                    # (reference finalize deleteChildDuplicates semantics).
+                    self._delete_orphans(meta)
 
         multi_node = len(meta.children) > 0
         if multi_node:
             # Re-used by every table node's plan; single-node streams skip the
             # materialization (one write consumes the records exactly once).
             records = records.cache()
+        try:
+            self._merge_stream_tables(state, records, deletes, lo, hi, run_base, t_start)
+        finally:
+            if multi_node:
+                records.unpersist()
+
+    def _merge_stream_tables(
+        self,
+        state: StreamState,
+        records: DataFrame,
+        deletes: Optional[DataFrame],
+        lo: int,
+        hi: int,
+        run_base: int,
+        t_start: float,
+    ) -> None:
+        meta = state.meta
+        root_snap = self.catalog.snapshot(meta.table_name)
         shredded = shred_stream(
             records, meta, ver_offset=run_base, translate_values=self.config.translate_values
         )
@@ -429,15 +535,13 @@ class SingerEngine:
         root_snap.run_seq_base = run_base
         root_snap.run_id = self.run_id
         self.catalog.commit_snapshot(meta.table_name, root_snap)
-        if multi_node:
-            records.unpersist()
         if self.config.emit_lineage:
             import time as _time
 
-            # parquet-footer-only count over the (touched slice of the) table
-            rows_after = self.catalog.read(
+            # parquet footers read driver-side: lineage adds NO Spark job
+            rows_after = self.catalog.footer_row_count(
                 meta.table_name, buckets=touched, snap=root_snap
-            ).count()
+            )
             self._emit_metrics(
                 {
                     "run_id": self.run_id,
@@ -484,7 +588,14 @@ class SingerEngine:
             F.from_json("value", _ENVELOPE).alias("m"), F.col(SEQ_COL), F.col("value")
         ).select("m.type", "m.stream", "m.record", F.col(SEQ_COL), F.col("value").alias("raw"))
         parsed = parsed.cache()
+        try:
+            self._apply_parsed(parsed)
+        finally:
+            # always unpersist: a long-lived streaming driver retrying failed
+            # batches must not accumulate leaked cache blocks
+            parsed.unpersist()
 
+    def _apply_parsed(self, parsed: DataFrame) -> None:
         # union of two tiny projections: control rows carry their raw line,
         # stats rows carry aggregates — one action for both (which also
         # materializes the parse cache the merges below reuse).
@@ -558,7 +669,6 @@ class SingerEngine:
             self._write_state(last_state)
         if active_streams is not None:
             self._retire_inactive(active_streams)
-        parsed.unpersist()
 
     def _write_state(self, value) -> None:
         path = os.path.join(self.config.lake_root, "_state.json")
@@ -607,9 +717,9 @@ class SingerEngine:
     # ------------------------------------------------------------ file replay
     def run_file(self, path: str, finalize: bool = True) -> None:
         """Batch replay of a JSONL file (reference CLI mode, ``index.ts:24``).
-        Line number = the durable source offset."""
-        rdd = self.spark.sparkContext.textFile(path).zipWithIndex()
-        lines = self.spark.createDataFrame(rdd, f"value string, {SEQ_COL} long")
+        Line number = the durable source offset, recovered JVM-side
+        (``with_line_offsets``) — no per-row Python on the batch path."""
+        lines, _ = with_line_offsets(self.spark.read.text(path))
         self.apply_lines(lines)
         if finalize:
             self.finalize()

@@ -54,6 +54,13 @@ DROPPED_TABLE_PREFIX = "_dropped_"
 ARCHIVED_TABLE_PREFIX = "_archived_"
 
 
+class IncompatibleColumnModification(RuntimeError):
+    """A MODIFY COLUMN would lose values (some existing value cannot be
+    represented in the new type). The reference aborts the run when the
+    ClickHouse ALTER mutation fails (``jsonSchemaTranslator.ts:190-209``,
+    error collect + revert at ``ClickhouseConnection.ts:56-77``)."""
+
+
 @dataclass
 class TableSnapshot:
     """One immutable manifest version of a table."""
@@ -224,6 +231,24 @@ class LakeCatalog:
     def row_count(self, name: str) -> int:
         return self.read(name).count()
 
+    def footer_row_count(
+        self,
+        name: str,
+        buckets: Optional[list[int]] = None,
+        snap: Optional[TableSnapshot] = None,
+    ) -> int:
+        """Row count from parquet footer metadata, read driver-side with
+        pyarrow — zero Spark jobs. Used by the per-batch lineage emitter so
+        lineage costs no scheduler round-trip (a batch is a handful of
+        bucket files; footer reads are O(files) small local IO)."""
+        import pyarrow.parquet as pq
+
+        snap = snap or self.snapshot(name)
+        total = 0
+        for f in self._abs_files(name, snap.files(buckets)):
+            total += pq.ParquetFile(f).metadata.num_rows
+        return total
+
     # ----------------------------------------------------------------- writes
     @staticmethod
     def bucket_expr(bucket_by: list[str], n_buckets: int):
@@ -301,6 +326,42 @@ class LakeCatalog:
         snap.bucket_files = written
         return snap
 
+    # --------------------------------------------------------------- vacuum
+    def vacuum(self, name: str) -> dict:
+        """Expire superseded state: delete data files not referenced by the
+        CURRENT snapshot and manifests older than it (≙ Iceberg
+        expire_snapshots + remove_orphan_files; the reference leans on
+        ClickHouse background merges for the same reclamation). Bucket-pruned
+        merges rewrite only touched buckets, so between vacuums a table keeps
+        one superseded file set per rewritten bucket per batch — at 10^10
+        events this GC is what bounds storage amplification.
+
+        Callers must ensure no reader is pinned to an older snapshot (same
+        contract as Iceberg snapshot expiry). Returns removal counts."""
+        snap = self.snapshot(name)
+        tdir = self._table_dir(name)
+        referenced = {os.path.normpath(f) for f in snap.files()}
+        removed = {"data_files": 0, "manifests": 0}
+        data_dir = os.path.join(tdir, "data")
+        for root, _dirs, files in os.walk(data_dir, topdown=False):
+            for f in files:
+                p = os.path.join(root, f)
+                rel = os.path.normpath(os.path.relpath(p, tdir))
+                if rel not in referenced:
+                    # sidecars (_SUCCESS, .crc) are swept too but only real
+                    # data files are reported
+                    os.remove(p)
+                    if f.endswith(".parquet"):
+                        removed["data_files"] += 1
+            if root != data_dir and not os.listdir(root):
+                os.rmdir(root)
+        current = f"snap-{snap.snapshot_id:06d}.json"
+        for f in os.listdir(tdir):
+            if f.startswith("snap-") and f.endswith(".json") and f != current:
+                os.remove(os.path.join(tdir, f))
+                removed["manifests"] += 1
+        return removed
+
     # -------------------------------------------------------------- evolution
     def add_column(self, name: str, col_name: str, spark_type: T.DataType, ch_type: str,
                    snap: Optional[TableSnapshot] = None, defer: bool = False) -> TableSnapshot:
@@ -330,10 +391,25 @@ class LakeCatalog:
     def modify_column(self, name: str, col_name: str, spark_type: T.DataType, ch_type: str,
                       snap: Optional[TableSnapshot] = None, defer: bool = False) -> TableSnapshot:
         """MODIFY COLUMN: rewrite with cast (≙ ClickHouse mutation). Fails the
-        whole ALTER when the cast is not representable, mirroring the
-        reference's abort-on-error (``jsonSchemaTranslator.ts:190-209``)."""
+        whole ALTER when any existing value is unrepresentable in the new
+        type, mirroring the reference's abort-on-error
+        (``jsonSchemaTranslator.ts:190-209``, fixture
+        ``stream_vanilla_with_incompatible_update.jsonl``): one
+        footer-cheap ``limit(1)`` probe with ``try_cast`` BEFORE anything is
+        rewritten or the manifest mutated, so an aborted ALTER leaves the
+        table untouched (ClickHouse's revert, ``ClickhouseConnection.ts:56-77``)."""
         snap = snap or self.snapshot(name)
         old = self.read(name, snap=snap)
+        violation = (
+            old.where(F.col(col_name).isNotNull() & F.col(col_name).try_cast(spark_type).isNull())
+            .limit(1)
+            .collect()
+        )
+        if violation:
+            raise IncompatibleColumnModification(
+                f"cannot MODIFY column {name}.{col_name} to {ch_type}: value "
+                f"{violation[0][col_name]!r} is not representable in the new type"
+            )
         fields = []
         for f in snap.spark_schema.fields:
             if f.name == col_name:
@@ -341,7 +417,7 @@ class LakeCatalog:
             else:
                 fields.append(f)
         schema = T.StructType(fields)
-        casted = old.withColumn(col_name, F.col(col_name).cast(spark_type))
+        casted = old.withColumn(col_name, F.col(col_name).try_cast(spark_type))
         snap.schema_json = schema.jsonValue()
         snap.ch_columns = [
             {**c, "type": ch_type} if c["name"] == col_name else c for c in snap.ch_columns

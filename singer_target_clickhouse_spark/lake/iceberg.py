@@ -1,0 +1,233 @@
+"""Real-Iceberg backend for the CDC sink (north rule: "Iceberg tables of
+source-code repositories").
+
+This sandbox ships no Iceberg runtime jars, so the engine's tests run against
+the snapshot-manifest emulation (``lake.catalog.LakeCatalog``); this module is
+the production seam: when an Iceberg catalog is configured on the session
+(``iceberg_available``), every category-D operator maps onto one SQL
+statement against real Iceberg tables — the same statements the emulation
+reproduces file-side. ``tests/test_iceberg.py`` runs the full engine cycle
+against this class and is skipped unless the jars are present.
+
+Operator mapping (reference ``StreamProcessor.ts`` categories):
+
+==================  =========================================================
+emulated op          Iceberg SQL
+==================  =========================================================
+create_table         CREATE TABLE ... USING iceberg
+                     PARTITIONED BY (bucket(N, pk...)) — same hash-bucket
+                     pruning the emulation implements by hand; Iceberg's
+                     bucket transform gives MERGE the same touched-bucket
+                     file pruning via partition predicates.
+merge_upsert (D1/2)  MERGE INTO t USING batch s ON <pk equi>
+                     WHEN MATCHED AND s._ver > t._ver AND s.__ts THEN DELETE
+                     WHEN MATCHED AND s._ver > t._ver THEN UPDATE SET *
+                     WHEN NOT MATCHED AND NOT s.__ts THEN INSERT *
+                     (batch pre-collapsed by merge.latest_wins, so one row
+                     per key; replays are no-ops because equal _ver fails
+                     the s._ver > t._ver guard — idempotence without the
+                     emulation's last_applied_seq gate).
+append (C-rows)      INSERT INTO (children / no-PK roots)
+delete_by_keys (D4)  MERGE INTO ... WHEN MATCHED THEN DELETE
+delete_where (D5)    DELETE FROM t WHERE <cond>
+orphan_delete (D3)   MERGE INTO child USING surviving-roots s
+                     ON child._root_* = s.pk AND child._root_ver = s._ver
+                     WHEN NOT MATCHED BY SOURCE THEN DELETE
+add/drop/widen (E)   ALTER TABLE ... ADD COLUMN / DROP COLUMN / ALTER COLUMN
+                     TYPE (Iceberg widens in metadata, no rewrite; the
+                     incompatible-MODIFY guard stays engine-side, identical
+                     probe to the emulation's).
+rename (E7)          ALTER TABLE ... RENAME TO _dropped_...
+==================  =========================================================
+
+Engine bookkeeping (``run_seq_base``, ``cleaned_values``) lives in Iceberg
+table properties (``ALTER TABLE ... SET TBLPROPERTIES``); it is advisory —
+exactly-once is carried by the version-guarded MERGE, not the property.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+PROP_PREFIX = "stcs."
+
+
+def iceberg_available(spark: SparkSession, catalog: str = "stcs") -> bool:
+    """Probe for a usable Iceberg catalog: the extensions must be on the
+    session and the named catalog must resolve (jars + conf present)."""
+    ext = spark.conf.get("spark.sql.extensions", "") or ""
+    if "IcebergSparkSessionExtensions" not in ext:
+        return False
+    try:
+        impl = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
+    except Exception:
+        impl = None
+    if not impl:
+        return False
+    try:
+        spark.sql(f"SHOW NAMESPACES IN {catalog}").collect()
+        return True
+    except Exception:
+        return False
+
+
+def _sql_type(dt: T.DataType) -> str:
+    return dt.simpleString()
+
+
+def _q(ident: str) -> str:
+    return "`" + ident.replace("`", "``") + "`"
+
+
+class IcebergCatalog:
+    """Engine-facing table operations over a real Iceberg catalog.
+
+    The interface intentionally mirrors what ``SingerEngine`` needs; the
+    emulation keeps manifests by hand, this class delegates atomicity,
+    snapshot isolation, bucket pruning and schema evolution to Iceberg."""
+
+    def __init__(self, spark: SparkSession, catalog: str = "stcs", database: str = "cdc"):
+        if not iceberg_available(spark, catalog):
+            raise RuntimeError(
+                f"Iceberg catalog {catalog!r} is not configured on this session; "
+                "add iceberg-spark-runtime jars and spark.sql.catalog.* conf, "
+                "or use the emulated LakeCatalog"
+            )
+        self.spark = spark
+        self.catalog = catalog
+        self.database = database
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{_q(database)}")
+
+    def _fqn(self, name: str) -> str:
+        return f"{self.catalog}.{_q(self.database)}.{_q(name)}"
+
+    # ---------------------------------------------------------------- catalog
+    def list_tables(self) -> list[str]:
+        rows = self.spark.sql(f"SHOW TABLES IN {self.catalog}.{_q(self.database)}").collect()
+        return sorted(r["tableName"] for r in rows)
+
+    def table_exists(self, name: str) -> bool:
+        return name in self.list_tables()
+
+    def create_table(
+        self,
+        name: str,
+        schema: T.StructType,
+        pk: list[str],
+        bucket_by: list[str],
+        n_buckets: int,
+        properties: Optional[dict] = None,
+    ) -> None:
+        cols = ", ".join(f"{_q(f.name)} {_sql_type(f.dataType)}" for f in schema.fields)
+        part = (
+            f"PARTITIONED BY (bucket({n_buckets}, {', '.join(_q(c) for c in bucket_by)}))"
+            if bucket_by
+            else ""
+        )
+        props = {PROP_PREFIX + "pk": ",".join(pk), **(properties or {})}
+        tbl_props = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
+        self.spark.sql(
+            f"CREATE TABLE {self._fqn(name)} ({cols}) USING iceberg {part} "
+            f"TBLPROPERTIES ({tbl_props})"
+        )
+
+    def drop_table(self, name: str) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {self._fqn(name)}")
+
+    def rename_table(self, name: str, new_name: str) -> None:
+        self.spark.sql(f"ALTER TABLE {self._fqn(name)} RENAME TO {_q(self.database)}.{_q(new_name)}")
+
+    # ------------------------------------------------------------------ reads
+    def read(self, name: str) -> DataFrame:
+        return self.spark.table(self._fqn(name))
+
+    # ----------------------------------------------------------------- merges
+    def merge_upsert(
+        self,
+        name: str,
+        batch: DataFrame,
+        pk: list[str],
+        ver_col: str = "_ver",
+        tombstone_col: Optional[str] = None,
+    ) -> None:
+        """Version-guarded MERGE; ``batch`` must be pre-collapsed to one row
+        per key (``merge.latest_wins``). Iceberg prunes the scan to the
+        bucket partitions present in the source — the emulation's
+        touched-bucket rewrite, for free."""
+        view = f"__stcs_batch_{name}"
+        batch.createOrReplaceTempView(view)
+        on = " AND ".join(f"t.{_q(c)} = s.{_q(c)}" for c in pk)
+        guard = f"s.{_q(ver_col)} > t.{_q(ver_col)}"
+        clauses = []
+        if tombstone_col:
+            clauses.append(f"WHEN MATCHED AND {guard} AND s.{_q(tombstone_col)} THEN DELETE")
+        clauses.append(
+            f"WHEN MATCHED AND {guard} THEN UPDATE SET "
+            + ", ".join(
+                f"t.{_q(c)} = s.{_q(c)}" for c in batch.columns if c != tombstone_col
+            )
+        )
+        not_matched_cond = f"AND NOT s.{_q(tombstone_col)} " if tombstone_col else ""
+        cols = [c for c in batch.columns if c != tombstone_col]
+        clauses.append(
+            f"WHEN NOT MATCHED {not_matched_cond}THEN INSERT "
+            f"({', '.join(_q(c) for c in cols)}) VALUES ({', '.join('s.' + _q(c) for c in cols)})"
+        )
+        self.spark.sql(
+            f"MERGE INTO {self._fqn(name)} t USING {view} s ON {on} " + " ".join(clauses)
+        )
+
+    def append(self, name: str, batch: DataFrame) -> None:
+        batch.writeTo(self._fqn(name)).append()
+
+    def delete_by_keys(self, name: str, keys: DataFrame, pk: list[str]) -> None:
+        view = f"__stcs_del_{name}"
+        keys.select(*pk).distinct().createOrReplaceTempView(view)
+        on = " AND ".join(f"t.{_q(c)} = s.{_q(c)}" for c in pk)
+        self.spark.sql(
+            f"MERGE INTO {self._fqn(name)} t USING {view} s ON {on} WHEN MATCHED THEN DELETE"
+        )
+
+    def delete_where(self, name: str, condition_sql: str) -> None:
+        self.spark.sql(f"DELETE FROM {self._fqn(name)} WHERE {condition_sql}")
+
+    def orphan_delete(
+        self, child_name: str, root_name: str, root_pk: list[str], child_root_cols: list[str]
+    ) -> None:
+        on = " AND ".join(
+            f"c.{_q(cc)} = r.{_q(rp)}" for rp, cc in zip(root_pk, child_root_cols)
+        )
+        self.spark.sql(
+            f"MERGE INTO {self._fqn(child_name)} c USING {self._fqn(root_name)} r "
+            f"ON {on} AND c.`_root_ver` = r.`_ver` "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+        )
+
+    # -------------------------------------------------------------- evolution
+    def add_column(self, name: str, col: str, dt: T.DataType) -> None:
+        self.spark.sql(f"ALTER TABLE {self._fqn(name)} ADD COLUMN {_q(col)} {_sql_type(dt)}")
+
+    def drop_column(self, name: str, col: str) -> None:
+        self.spark.sql(f"ALTER TABLE {self._fqn(name)} DROP COLUMN {_q(col)}")
+
+    def widen_column(self, name: str, col: str, dt: T.DataType) -> None:
+        """Iceberg widens types in metadata (int->long, float->double,
+        decimal scale-up) with no rewrite; anything else must be guarded by
+        the engine's incompatible-MODIFY probe first."""
+        self.spark.sql(f"ALTER TABLE {self._fqn(name)} ALTER COLUMN {_q(col)} TYPE {_sql_type(dt)}")
+
+    # ------------------------------------------------------------- properties
+    def set_property(self, name: str, key: str, value: str) -> None:
+        self.spark.sql(
+            f"ALTER TABLE {self._fqn(name)} SET TBLPROPERTIES ('{PROP_PREFIX}{key}'='{value}')"
+        )
+
+    def get_property(self, name: str, key: str) -> Optional[str]:
+        rows = self.spark.sql(f"SHOW TBLPROPERTIES {self._fqn(name)}").collect()
+        for r in rows:
+            if r["key"] == PROP_PREFIX + key:
+                return r["value"]
+        return None

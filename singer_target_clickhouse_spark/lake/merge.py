@@ -5,18 +5,20 @@ Scale notes (the 100 TB story):
 
 - every operator prunes to the buckets its keys touch before reading the
   target, so cost scales with batch size, not table size;
-- the latest-wins dedup is one window per bucket-restricted union — Spark
-  shuffles only the touched slice, AQE handles residual skew;
-- the batch side is repartitioned on (bucket, salt) before the window so a
-  hot key (one repo/path getting millions of updates in a batch) spreads
-  over ``skew_salt`` tasks for the map-side of the shuffle.
+- the latest-wins dedup is a ``max_by`` hash aggregate per bucket-restricted
+  union: partial aggregation collapses hot keys **map-side**, so a hot
+  (repo, path) receiving millions of updates in one batch reduces to one row
+  per input partition before the exchange — no single task ever sees the
+  full hot-key row set. This is the skew defense (an explicit salted
+  two-phase reduce is unnecessary because partial agg IS the salted phase,
+  with salt = input partition).
 """
 
 from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from .catalog import LakeCatalog, TableSnapshot
 
@@ -25,13 +27,19 @@ def latest_wins(df: DataFrame, pk: list[str], ver_col: str = "_ver") -> DataFram
     """ReplacingMergeTree collapse: keep the max-`_ver` row per key
     (reference engine semantics, ``jsonSchemaTranslator.ts:36`` +
     ``OPTIMIZE FINAL`` at ``StreamProcessor.ts:108``). Ties cannot occur
-    because `_ver` is unique per record (derived from the source offset)."""
-    w = Window.partitionBy(*pk).orderBy(F.col(ver_col).desc())
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
+    because `_ver` is unique per record (derived from the source offset).
+
+    Plan shape: ``groupBy(pk).agg(max_by(struct(<non-key cols>), _ver))``
+    instead of a per-key ``row_number()`` window. The window form re-shuffles
+    every row by pk and sorts inside each partition — a hot key lands on one
+    task. ``max_by`` is a declarative aggregate with partial (map-side)
+    combine: each input partition emits at most one candidate row per key,
+    so the exchange carries O(keys), not O(rows), and skew disappears."""
+    others = [c for c in df.columns if c not in pk]
+    packed = df.groupBy(*pk).agg(
+        F.max_by(F.struct(*[F.col(c) for c in others]), F.col(ver_col)).alias("__top")
     )
+    return packed.select(*pk, *[F.col("__top").getField(c).alias(c) for c in others])
 
 
 def merge_upsert(
@@ -68,13 +76,9 @@ def merge_upsert(
     target = catalog.read(name, buckets=touched, snap=snap)
     if tombstone_col:
         target = target.withColumn(tombstone_col, F.lit(False))
-    if skew_salt > 1:
-        # Pre-shuffle the fat side on (bucket, salt) so a hot key doesn't pin
-        # one task during the exchange feeding the dedup window.
-        salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(skew_salt))
-        batch = batch.repartition(
-            LakeCatalog.bucket_expr(snap.bucket_by, snap.n_buckets), salt
-        )
+    # No explicit salting needed: latest_wins is a max_by hash aggregate whose
+    # partial (map-side) combine already collapses hot keys per input
+    # partition before the shuffle (``skew_salt`` kept for API compat).
     merged = latest_wins(target.unionByName(batch), snap.pk, "_ver")
     if tombstone_col:
         merged = merged.where(~F.col(tombstone_col)).drop(tombstone_col)

@@ -39,10 +39,40 @@ SEQ_COL = "_seq"
 _INT_RE = r"^\s*([+-]?\d+)"
 _FLOAT_RE = r"^\s*([+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)"
 
+#: Non-ISO layouts accepted by the best-effort datetime parser, mirroring
+#: ClickHouse's ``date_time_input_format: "best_effort"`` which the reference
+#: sets on every insert connection (``ClickhouseConnection.ts:163``): real
+#: Singer taps emit RFC-ish and slash-separated forms, not just ISO. Ambiguous
+#: day/month order resolves day-first, like ClickHouse best_effort.
+_TS_FORMATS = [
+    "dd/MM/yyyy HH:mm:ss",
+    "dd/MM/yyyy HH:mm",
+    "dd/MM/yyyy",
+    "yyyy/MM/dd HH:mm:ss",
+    "yyyy/MM/dd",
+    "dd MMM yyyy HH:mm:ss",
+    "dd MMM yyyy",
+]
+
+
+def _best_effort_timestamp(col: Column) -> Column:
+    """ISO first (plain cast handles offsets/'T'/fractions), then the layout
+    list, then bare unix epoch seconds; unparseable -> null (the reference's
+    insert would store a best-effort value or fail the row — warn-and-null is
+    the lossless-to-diagnose Spark equivalent). All branches are ``try_``
+    forms: no ANSI runtime failures, pure JVM expressions."""
+    attempts = [col.try_cast("timestamp")]
+    attempts += [F.try_to_timestamp(col, F.lit(f)) for f in _TS_FORMATS]
+    attempts.append(
+        F.when(col.rlike(r"^\d{9,10}$"), F.timestamp_seconds(col.try_cast("long")))
+    )
+    return F.coalesce(*attempts)
+
 
 def _translate_scalar(col: Column, spec: ColumnSpec) -> Column:
     """JS-parity coercion from a raw string value: parseInt / parseFloat with
-    NaN->null, boolean "true"/true/1 -> true, String(v) otherwise."""
+    NaN->null, boolean "true"/true/1 -> true, String(v) otherwise; date /
+    date-time formats get best-effort multi-layout parsing."""
     jt = spec.json_type
     if jt == "boolean":
         out = F.when(col.isNull(), F.lit(None).cast("boolean")).otherwise(
@@ -55,7 +85,11 @@ def _translate_scalar(col: Column, spec: ColumnSpec) -> Column:
     if jt == "number":
         num = F.regexp_extract(col, _FLOAT_RE, 1)
         return F.when(num == "", F.lit(None)).otherwise(num).cast(spec.spark_type)
-    # strings (incl. date/datetime formats) cast from their text form
+    if isinstance(spec.spark_type, T.TimestampType):
+        return _best_effort_timestamp(col)
+    if isinstance(spec.spark_type, T.DateType):
+        return _best_effort_timestamp(col).cast("date")
+    # strings cast from their text form
     return col.cast(spec.spark_type)
 
 

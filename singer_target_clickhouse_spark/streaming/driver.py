@@ -115,11 +115,12 @@ class StreamingDriver:
         # Plain logs: deterministic intra-batch order — the file source
         # redelivers an uncommitted batch with the identical file set
         # (checkpoint WAL), and partition planning over that set is
-        # deterministic, so zipWithIndex reproduces identical line numbers
-        # on replay. Row-serialization cost makes this the fixture path only.
-        indexed = batch.rdd.map(lambda r: r["value"]).zipWithIndex()
-        lines = batch.sparkSession.createDataFrame(indexed, f"value string, {SEQ_COL} long")
-        n = lines.count()
+        # deterministic, so the JVM-side offset recovery reproduces identical
+        # line numbers on replay (with_line_offsets: mono-id arithmetic + one
+        # O(partitions) count job — no per-row Python, unlike zipWithIndex).
+        from ..engine import with_line_offsets
+
+        lines, n = with_line_offsets(batch)
         if n == 0:
             return
         base = self._seq_base_for(batch_id, n)
@@ -147,3 +148,69 @@ class StreamingDriver:
         query.awaitTermination()
         if finalize:
             self.engine.finalize()
+
+
+def kafka_source_available(spark: SparkSession) -> bool:
+    """True when the spark-sql-kafka connector jars are on the session."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False
+
+
+class KafkaStreamingDriver(StreamingDriver):
+    """Kafka-backed change log — the production entry point the reference's
+    stdin pipe maps to (``processStream.ts:126`` reads a totally ordered
+    stream; a binlog-style Kafka topic with ONE partition is the same total
+    order). The Kafka record offset IS the durable ``_seq``: recovered
+    JVM-side from the source metadata columns, replay-stable by construction
+    — exactly the ``offsets_in_log`` contract of the file driver, so the
+    engine's exactly-once gate works unchanged.
+
+    Multi-partition topics have no global order and are rejected up front:
+    shard streams across topics (one per tap) rather than partitions, or add
+    a partition-epoch to the seq like Debezium's (partition, offset) pairs.
+
+    Requires the ``spark-sql-kafka-0-10`` connector jars
+    (``kafka_source_available``); tests skip without them."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: Config,
+        bootstrap_servers: str,
+        topic: str,
+        checkpoint_dir: str,
+        max_offsets_per_trigger: Optional[int] = None,
+    ):
+        super().__init__(spark, config, input_dir="", checkpoint_dir=checkpoint_dir)
+        self.bootstrap_servers = bootstrap_servers
+        self.topic = topic
+        self.max_offsets_per_trigger = max_offsets_per_trigger
+
+    def _read_stream(self) -> DataFrame:
+        reader = (
+            self.spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", self.bootstrap_servers)
+            .option("subscribe", self.topic)
+            .option("startingOffsets", "earliest")
+        )
+        if self.max_offsets_per_trigger:
+            reader = reader.option("maxOffsetsPerTrigger", self.max_offsets_per_trigger)
+        return reader.load()
+
+    def _apply_batch_inner(self, batch: DataFrame, batch_id: int) -> None:
+        parts = [r["partition"] for r in batch.select("partition").distinct().collect()]
+        if len(parts) > 1:
+            raise ValueError(
+                f"topic {self.topic} has {len(parts)} partitions in this batch; "
+                "a CDC change log must be a single totally-ordered partition"
+            )
+        lines = batch.select(
+            F.col("value").cast("string").alias("value"),
+            F.col("offset").cast("long").alias(SEQ_COL),
+        )
+        self.engine.apply_lines(lines)

@@ -255,6 +255,136 @@ def test_record_before_schema_throws(spark, lake, tmp_path):
         engine(spark, lake).run_file(str(p))
 
 
+def test_incompatible_modify_throws(spark, lake):
+    # processStream.spec.ts:260-265: schema update name string -> integer must
+    # abort (values like "bill" are unrepresentable), leaving the table as-is.
+    from singer_target_clickhouse_spark.lake.catalog import IncompatibleColumnModification
+
+    engine(spark, lake).run_file(f"{DATA}/stream_vanilla.jsonl")
+    with pytest.raises(IncompatibleColumnModification):
+        engine(spark, lake).run_file(f"{DATA}/stream_vanilla_with_incompatible_update.jsonl")
+    # aborted ALTER left data and schema untouched
+    e = engine(spark, lake)
+    assert rows(e, "users", "id", "name") == [(1, "bill"), (2, "bill"), (3, "jack"), (4, "joe")]
+    assert any(
+        c["name"] == "name" and "String" in c["type"]
+        for c in e.catalog.snapshot("users").ch_columns
+    )
+
+
+def test_tombstone_keys_translated(spark, lake, tmp_path):
+    # Delete-record keys go through the same value coercion as record keys
+    # (reference DeletedRecordProcessor extractValue with translateValues):
+    # a string-encoded key {"id": "5"} must delete the row keyed id=5.
+    p = tmp_path / "del.jsonl"
+    p.write_text(
+        '{"type": "SCHEMA", "stream": "t", "schema": {"type": "object", "properties": '
+        '{"id": {"type": "integer"}, "v": {"type": ["null", "string"]}}}, "key_properties": ["id"]}\n'
+        '{"type": "RECORD", "stream": "t", "record": {"id": "5", "v": "a"}}\n'
+        '{"type": "RECORD", "stream": "t", "record": {"id": "6", "v": "b"}}\n'
+        '{"type": "DELETED_RECORD", "stream": "t", "record": {"id": "5"}}\n'
+    )
+    e = engine(spark, lake, translate_values=True)
+    e.run_file(str(p))
+    assert rows(e, "t", "id", "v") == [(6, "b")]
+
+
+def test_cleaning_wipe_removes_child_rows(spark, lake, tmp_path):
+    # A cleaning wipe rewrites root rows across ALL buckets; child rows of the
+    # wiped roots must not survive (reference finalize deleteChildDuplicates).
+    schema = (
+        '{"type": "SCHEMA", "stream": "s", "schema": {"type": "object", "properties": '
+        '{"id": {"type": "integer"}, "tag": {"type": ["null", "string"]}, '
+        '"items": {"type": "array", "items": {"type": "object", "properties": '
+        '{"x": {"type": ["null", "string"]}}}}}}, "key_properties": ["id"], '
+        '"cleaning_column": "tag"}\n'
+    )
+    p1 = tmp_path / "c1.jsonl"
+    p1.write_text(
+        schema
+        + '{"type": "RECORD", "stream": "s", "record": {"id": 1, "tag": "A", "items": [{"x": "x1"}, {"x": "x2"}]}}\n'
+        + '{"type": "RECORD", "stream": "s", "record": {"id": 2, "tag": "B", "items": [{"x": "y1"}]}}\n'
+    )
+    engine(spark, lake).run_file(str(p1))
+    p2 = tmp_path / "c2.jsonl"
+    p2.write_text(
+        schema
+        + '{"type": "RECORD", "stream": "s", "record": {"id": 3, "tag": "A", "items": [{"x": "z1"}]}}\n'
+    )
+    e = engine(spark, lake)  # fresh run => cleaned-values set resets => wipe of A
+    e.run_file(str(p2))
+    assert rows(e, "s", "id") == [(2,), (3,)]
+    assert rows(e, "s__items", "_root_id", "x") == [(2, "y1"), (3, "z1")]
+
+
+def test_cleaning_falsy_values_skipped(spark, lake, tmp_path):
+    # Reference wipes only for truthy cleaning values (record[cleaningColumn] &&):
+    # 0 / "" / false never trigger a wipe.
+    schema = (
+        '{"type": "SCHEMA", "stream": "f", "schema": {"type": "object", "properties": '
+        '{"id": {"type": "integer"}, "flag": {"type": ["null", "integer"]}}}, '
+        '"key_properties": ["id"], "cleaning_column": "flag"}\n'
+    )
+    p1 = tmp_path / "f1.jsonl"
+    p1.write_text(
+        schema
+        + '{"type": "RECORD", "stream": "f", "record": {"id": 1, "flag": 5}}\n'
+        + '{"type": "RECORD", "stream": "f", "record": {"id": 2, "flag": 0}}\n'
+    )
+    engine(spark, lake).run_file(str(p1))
+    p2 = tmp_path / "f2.jsonl"
+    p2.write_text(
+        schema
+        + '{"type": "RECORD", "stream": "f", "record": {"id": 3, "flag": 0}}\n'
+        + '{"type": "RECORD", "stream": "f", "record": {"id": 4, "flag": 5}}\n'
+    )
+    e = engine(spark, lake)
+    e.run_file(str(p2))
+    # flag=5 wiped id=1; flag=0 is falsy so id=2 survived
+    assert rows(e, "f", "id") == [(2,), (3,), (4,)]
+
+
+def test_cleaning_typed_timestamp_compare(spark, lake, tmp_path):
+    # Typed cleaning columns must match on the translated value, not a string
+    # cast (a stored timestamp never string-equals its JSON text form).
+    schema = (
+        '{"type": "SCHEMA", "stream": "ts", "schema": {"type": "object", "properties": '
+        '{"id": {"type": "integer"}, "day": {"type": ["null", "string"], "format": "date-time"}}}, '
+        '"key_properties": ["id"], "cleaning_column": "day"}\n'
+    )
+    p1 = tmp_path / "t1.jsonl"
+    p1.write_text(
+        schema
+        + '{"type": "RECORD", "stream": "ts", "record": {"id": 1, "day": "2021-03-07T10:00:00Z"}}\n'
+        + '{"type": "RECORD", "stream": "ts", "record": {"id": 2, "day": "2021-03-08T10:00:00Z"}}\n'
+    )
+    engine(spark, lake).run_file(str(p1))
+    p2 = tmp_path / "t2.jsonl"
+    p2.write_text(
+        schema
+        + '{"type": "RECORD", "stream": "ts", "record": {"id": 3, "day": "2021-03-07T10:00:00Z"}}\n'
+    )
+    e = engine(spark, lake)
+    e.run_file(str(p2))
+    # the wipe matched the stored timestamp for 2021-03-07: id=1 gone
+    assert rows(e, "ts", "id") == [(2,), (3,)]
+
+
+def test_line_offsets_jvm_side(spark, tmp_path):
+    # with_line_offsets must reproduce zipWithIndex numbering with zero
+    # Python in the row path (input_hint: no per-row Python).
+    from singer_target_clickhouse_spark.engine import with_line_offsets
+
+    p = tmp_path / "lines.txt"
+    p.write_text("".join(f"line-{i}\n" for i in range(2000)))
+    df, n = with_line_offsets(spark.read.text(str(p)))
+    assert n == 2000
+    got = {r["_seq"]: r["value"] for r in df.collect()}
+    assert got == {i: f"line-{i}" for i in range(2000)}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "PythonRDD" not in plan
+
+
 def test_upsert_latest_wins_across_runs(spark, lake, tmp_path):
     p1 = tmp_path / "a.jsonl"
     p1.write_text(

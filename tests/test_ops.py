@@ -110,6 +110,49 @@ def test_lsh_ann_matches_exact_on_easy_data(spark):
     assert hits >= 2  # approximate, but must find most of the easy ones
 
 
+def test_token_jaccard_candidates_subset(docs):
+    # the candidate-driven path must agree with the all-pairs verifier on
+    # every pair the candidate set contains
+    cand = D.minhash_lsh_pairs(docs, threshold=0.5)
+    via_cand = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in D.token_jaccard_pairs(docs, threshold=0.5, candidates=cand).collect()
+    }
+    allp = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in D.token_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    cand_pairs = {(r["a_id"], r["b_id"]) for r in cand.collect()}
+    assert via_cand == {p: j for p, j in allp.items() if p in cand_pairs}
+    assert (1, 2) in via_cand and via_cand[(1, 2)] == 1.0
+
+
+def test_simhash_profile_matches_simhash64(docs):
+    staged = {r["doc_id"]: r["simhash"] for r in D.simhash_profile(docs).collect()}
+    inline = {r["doc_id"]: r["sh"] for r in docs.select(
+        "doc_id", D.simhash64(F.col("text")).alias("sh")).collect()}
+    assert staged == inline
+    # the staging boundary survives optimization: only one md5/tokenize pass
+    plan = D.simhash_profile(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("md5") == 1
+
+
+def test_cosine_pairs_lsh_verifies_exactly(spark):
+    # LSH candidates are a subset of all pairs; every emitted pair must carry
+    # the exact brute-force cosine, and hamming<=1 neighbors must be found
+    rows = [(i, [1.0 + 0.001 * i, 0.001 * i, 0.0, 0.0]) for i in range(10)]
+    rows += [(100 + i, [0.0, 0.0, 1.0, 0.002 * i]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lsh = {(r["a_id"], r["b_id"]): r["cos_sim"]
+           for r in S.cosine_pairs_lsh(df, dim=4, threshold=0.99, n_planes=6).collect()}
+    brute = {(r["a_id"], r["b_id"]): r["cos_sim"]
+             for r in S.cosine_pairs(df, threshold=0.99).collect()}
+    assert set(lsh) <= set(brute)
+    assert all(brute[p] == s for p, s in lsh.items())
+    # tight clusters land in the same or 1-bit-adjacent buckets: full recall here
+    assert set(lsh) == set(brute)
+
+
 def test_multimodal_plumbing(spark):
     rows = [
         (1, "image", "image/png", bytearray(b"\x00\x10\x00\x20abcdef"), {"w": "16"}),

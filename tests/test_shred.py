@@ -118,6 +118,40 @@ def test_translation_parse_int_float(spark):
     assert rows[2]["f"] is None
 
 
+def test_translation_best_effort_datetime(spark):
+    # ClickHouse best_effort parity (ClickhouseConnection.ts:163): mixed
+    # datetime layouts all land as the same instant; garbage -> null.
+    schema = {
+        "type": "object",
+        "properties": {
+            "id": {"type": "integer"},
+            "at": {"type": ["null", "string"], "format": "date-time"},
+            "d": {"type": ["null", "string"], "format": "date"},
+        },
+    }
+    meta = build_meta("t", schema, ["id"])
+    df = records_df(
+        spark,
+        [
+            {"id": 1, "at": "2021-03-07T14:00:01Z", "d": "2021-03-07"},
+            {"id": 2, "at": "07/03/2021 14:00:01", "d": "07/03/2021"},
+            {"id": 3, "at": "2021/03/07 14:00:01", "d": "2021/03/07"},
+            {"id": 4, "at": "07 Mar 2021 14:00:01", "d": "07 Mar 2021"},
+            {"id": 5, "at": "1615125601", "d": None},
+            {"id": 6, "at": "not a date", "d": "nope"},
+        ],
+    )
+    rows = {r["id"]: r for r in shred_stream(df, meta, translate_values=True)["t"].collect()}
+    expect = rows[1]["at"]
+    assert expect is not None
+    for i in (2, 3, 4, 5):
+        assert rows[i]["at"] == expect, i
+    assert str(rows[1]["d"]) == "2021-03-07"
+    for i in (2, 3, 4):
+        assert rows[i]["d"] == rows[1]["d"], i
+    assert rows[6]["at"] is None and rows[6]["d"] is None
+
+
 def test_non_array_tolerance(spark):
     # reference RecordProcessor.ts:117-119: object (or scalar) where array
     # expected -> single-element array; null/absent -> no child rows.
