@@ -44,7 +44,7 @@ def build_spark(cpus: int):
     )
 
 
-def bench_cdc_replay(spark, sf_dir: str, n_files: int = 8, files_per_trigger: int = 2):
+def bench_cdc_replay(spark, sf_dir: str, n_files: int = None, files_per_trigger: int = None):
     """events/sec applied through the real architecture: an offset-bearing
     JSONL change log tailed by the Structured Streaming driver
     (checkpointed foreachBatch -> shred -> bucket-pruned MERGE), replayed to
@@ -57,6 +57,8 @@ def bench_cdc_replay(spark, sf_dir: str, n_files: int = 8, files_per_trigger: in
     n = int(os.environ.get("STCS_BENCH_EVENTS", "0")) or (
         spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     )
+    n_files = n_files or int(os.environ.get("STCS_BENCH_NFILES", "8"))
+    files_per_trigger = files_per_trigger or int(os.environ.get("STCS_BENCH_FPT", "2"))
     content_len = int(os.environ.get("STCS_BENCH_CONTENT_LEN", "64"))
     events = change_events_df(spark, n, n_repos=200, paths_per_repo=2000,
                               content_len=content_len)

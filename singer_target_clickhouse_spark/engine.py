@@ -461,7 +461,6 @@ class SingerEngine:
                 snap.cleaned_values = sorted(state.cleaned_values | new_vals)
                 self.catalog.commit_snapshot(meta.table_name, snap)
                 state.cleaned_values |= new_vals
-                root_snap = self.catalog.snapshot(meta.table_name)
                 if meta.children:
                     # The wipe rewrote root rows across ALL buckets; the
                     # per-batch orphan delete below only covers this batch's
