@@ -583,9 +583,21 @@ class SingerEngine:
         seq-bound/delete-count stats, grouped-aggregated map-side. The
         record/delete payloads never leave the executors.
         """
+        # `raw` (the full line) is only needed for the rare control messages;
+        # nulling it for data rows halves the cached bytes per batch — the
+        # cache is re-read by every per-stream merge plan, so this is a
+        # direct memory-bandwidth saving on the hot path.
         parsed = lines.select(
             F.from_json("value", _ENVELOPE).alias("m"), F.col(SEQ_COL), F.col("value")
-        ).select("m.type", "m.stream", "m.record", F.col(SEQ_COL), F.col("value").alias("raw"))
+        ).select(
+            "m.type",
+            "m.stream",
+            "m.record",
+            F.col(SEQ_COL),
+            F.when(
+                F.col("m.type").isin("SCHEMA", "STATE", "ACTIVE_STREAMS"), F.col("value")
+            ).alias("raw"),
+        )
         parsed = parsed.cache()
         try:
             self._apply_parsed(parsed)

@@ -53,37 +53,43 @@ def punct_ratio(col: Column) -> Column:
     return F.when(n == 0, F.lit(0.0)).otherwise(p / n)
 
 
-def stopword_ratio(col: Column) -> Column:
-    toks = tokens(col)
+def _stopword_ratio(toks: Column) -> Column:
     sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
     return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(sw / F.size(toks))
 
 
-def mean_word_len(col: Column) -> Column:
-    toks = tokens(col)
+def stopword_ratio(col: Column) -> Column:
+    return _stopword_ratio(tokens(col))
+
+
+def _mean_word_len(toks: Column) -> Column:
     total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(total / F.size(toks))
 
 
-def quality_score(col: Column) -> Column:
-    """Composite [0,1] quality heuristic: long enough, low punctuation noise,
-    sane word lengths, some (but not all) stopwords. Deterministic."""
+def mean_word_len(col: Column) -> Column:
+    return _mean_word_len(tokens(col))
+
+
+def _quality_score(col: Column, toks: Column) -> Column:
     length_term = F.least(F.length(col) / F.lit(500.0), F.lit(1.0))
     punct_term = F.lit(1.0) - F.least(punct_ratio(col) * 4, F.lit(1.0))
-    wl = mean_word_len(col)
+    wl = _mean_word_len(toks)
     wordlen_term = F.when((wl >= 3) & (wl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
-    sw = stopword_ratio(col)
+    sw = _stopword_ratio(toks)
     stop_term = F.when((sw > 0.05) & (sw < 0.6), F.lit(1.0)).otherwise(F.lit(0.5))
     return F.round(
         (length_term * 0.4 + punct_term * 0.2 + wordlen_term * 0.2 + stop_term * 0.2), 4
     )
 
 
-def lang_id(col: Column) -> Column:
-    """Rule-based language ID: marker-word votes, ties broken by the fixed
-    language order, 'und' (undetermined) when nothing matches."""
-    toks = tokens(col)
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: long enough, low punctuation noise,
+    sane word lengths, some (but not all) stopwords. Deterministic."""
+    return _quality_score(col, tokens(col))
 
+
+def _lang_id(toks: Column) -> Column:
     def member_of(markers: list[str]):
         return lambda t: t.isin(*markers)
 
@@ -99,6 +105,12 @@ def lang_id(col: Column) -> Column:
     return out
 
 
+def lang_id(col: Column) -> Column:
+    """Rule-based language ID: marker-word votes, ties broken by the fixed
+    language order, 'und' (undetermined) when nothing matches."""
+    return _lang_id(tokens(col))
+
+
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of the normalized text (lowercase, punct
     stripped, whitespace collapsed) — the classic near-exact-dup key."""
@@ -108,14 +120,20 @@ def fingerprint(col: Column) -> Column:
 
 
 def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """One-pass text profile: a single narrow projection per document."""
+    """Text profile in TWO projections: the token array materializes once,
+    then every metric reads it. Inlining everything (round-1 form) makes each
+    metric re-split the document — 6+ tokenizations per row and a huge
+    codegen unit; the staging boundary survives optimization because
+    CollapseProject keeps non-cheap expressions referenced multiple times."""
     c = F.col(text_col)
-    return df.select(
+    staged = df.select(F.col(id_col), c.alias("__t"), tokens(c).alias("__k"))
+    t, k = F.col("__t"), F.col("__k")
+    return staged.select(
         F.col(id_col),
-        token_count(c).alias("n_tokens"),
-        F.round(punct_ratio(c), 4).alias("punct_ratio"),
-        F.round(stopword_ratio(c), 4).alias("stopword_ratio"),
-        quality_score(c).alias("quality"),
-        lang_id(c).alias("lang_pred"),
-        fingerprint(c).alias("fingerprint"),
+        F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(F.size(k)).alias("n_tokens"),
+        F.round(punct_ratio(t), 4).alias("punct_ratio"),
+        F.round(_stopword_ratio(k), 4).alias("stopword_ratio"),
+        _quality_score(t, k).alias("quality"),
+        _lang_id(k).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
     )

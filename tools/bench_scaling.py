@@ -1,14 +1,29 @@
 """Two-parallelism scaling evidence for the north rule.
 
 Runs the flagship CDC replay (via bench.py, STCS_BENCH_ONLY=cdc_replay) at
-local[N] and local[4N] in separate subprocesses (one JVM each) on the SAME
+local[N] and local[4N] in separate subprocesses (one JVM each) on identical
 input, and writes BENCH/BASELINE.md with both throughputs and the scaling
 efficiency ``(eps_4N / eps_N) / 4``.
 
-Steady-state throughput (excluding the first micro-batch of each run, which
-carries JVM JIT + whole-stage-codegen warmup) is reported alongside the
-raw overall number; the sandbox VM shows a persistent background load of
-~8, so each level runs ``repeats`` times and the best run is used.
+Measurement protocol (hard-earned on this sandbox — see BENCH/BASELINE.md):
+
+- **N=4 vs 4N=16 by default.** The VM advertises 32 vCPUs but sustained
+  CPU throughput saturates at ~16 cores' worth (raw multiprocessing sha256:
+  4->16 procs scales 3.8x/0.95 eff; 16->32 only 1.3x). 8->32 would measure
+  the host's oversubscription, not the engine; 4->16 stays inside the
+  physically-backed range. A real 1000-executor cluster is the N..4N regime
+  the rule actually targets.
+- **tmpfs for log/lake/checkpoint/shuffle** (STCS_BENCH_TMPFS=1, default on):
+  /dev/vda exhibits multi-second write stalls that dwarf per-batch compute;
+  the rule measures executor scaling, not one virtio disk's queue.
+- **Idle gate**: the VM has background load waves (load avg 0 -> 8-14 for
+  minutes at a time). Each run waits for 1-min load < IDLE_MAX before
+  starting; levels are interleaved so residual noise hits both equally.
+- **Many files per micro-batch** (NFILES/FPT): the scan+parse+partial-agg
+  stage parallelizes per input split; 32 files per trigger gives every level
+  full task fan-out (4 cores: 8 waves, 16 cores: 2 waves).
+- **Median post-warmup batch** throughput per run; best of ``repeats`` runs
+  per level (first batch carries JIT/codegen warmup, excluded).
 
 Usage: python tools/bench_scaling.py [sf_dir] [N] [repeats]
 """
@@ -17,79 +32,123 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
+import time
 from datetime import datetime, timezone
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TMPFS_DIR = "/dev/shm/stcs_scaling"
+IDLE_MAX = float(os.environ.get("STCS_BENCH_IDLE_MAX", "3.0"))
+IDLE_WAIT_SEC = int(os.environ.get("STCS_BENCH_IDLE_WAIT", "900"))
+
+
+def wait_for_idle() -> float:
+    """Block until the 1-min load average drops under IDLE_MAX (or timeout);
+    returns the load observed at release."""
+    t0 = time.time()
+    while True:
+        load1 = os.getloadavg()[0]
+        if load1 < IDLE_MAX or time.time() - t0 > IDLE_WAIT_SEC:
+            return load1
+        time.sleep(20)
 
 
 def run_once(sf_dir: str, cpus: int) -> dict:
+    use_tmpfs = os.environ.get("STCS_BENCH_TMPFS", "1") == "1"
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_CPUS=str(cpus),
         STCS_BENCH_ONLY="cdc_replay",
-        # Scaling evidence needs a compute-bound batch: more events and
-        # realistic file-content sizes so per-batch driver overhead (a
-        # parallelism-independent constant) doesn't mask executor scaling.
-        STCS_BENCH_EVENTS=os.environ.get("STCS_BENCH_EVENTS", "2400000"),
+        # Compute-bound batches: enough events that per-batch fixed cost
+        # (trigger, planning, commits ~2s) is <10% of batch wall at N cores,
+        # and enough files that every level gets full scan fan-out.
+        STCS_BENCH_EVENTS=os.environ.get("STCS_BENCH_EVENTS", "12000000"),
+        STCS_BENCH_NFILES=os.environ.get("STCS_BENCH_NFILES", "192"),
+        STCS_BENCH_FPT=os.environ.get("STCS_BENCH_FPT", "32"),
         STCS_BENCH_CONTENT_LEN=os.environ.get("STCS_BENCH_CONTENT_LEN", "128"),
     )
-    out = subprocess.run(
-        [sys.executable, os.path.join(ROOT, "bench.py")],
-        env=env, capture_output=True, text=True, timeout=3600,
-    )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
-
-
-def best(sf_dir: str, cpus: int, repeats: int) -> dict:
-    runs = [run_once(sf_dir, cpus) for _ in range(repeats)]
-    return max(runs, key=lambda r: r["extra"]["median_batch_events_per_sec"])
+    if use_tmpfs:
+        os.makedirs(TMPFS_DIR, exist_ok=True)
+        env["TMPDIR"] = TMPFS_DIR
+    load = wait_for_idle()
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(ROOT, "bench.py")],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        rec = json.loads(line)
+        rec["extra"]["load_at_start"] = round(load, 2)
+        return rec
+    finally:
+        if use_tmpfs:
+            shutil.rmtree(TMPFS_DIR, ignore_errors=True)
 
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-    lo = best(sf_dir, n, repeats)
-    hi = best(sf_dir, 4 * n, repeats)
+    runs: dict[int, list[dict]] = {n: [], 4 * n: []}
+    for _ in range(repeats):  # interleave levels: noise hits both equally
+        for cpus in (n, 4 * n):
+            rec = run_once(sf_dir, cpus)
+            runs[cpus].append(rec)
+            print(f"[run] cpus={cpus} median_eps={rec['extra']['median_batch_events_per_sec']} "
+                  f"batches={rec['extra']['batch_times']} load_at_start={rec['extra']['load_at_start']}",
+                  flush=True)
+    lo = max(runs[n], key=lambda r: r["extra"]["median_batch_events_per_sec"])
+    hi = max(runs[4 * n], key=lambda r: r["extra"]["median_batch_events_per_sec"])
     eps_lo = lo["extra"]["median_batch_events_per_sec"]
     eps_hi = hi["extra"]["median_batch_events_per_sec"]
     raw_lo = lo["extra"]["events_per_sec"]
     raw_hi = hi["extra"]["events_per_sec"]
     eff = round(eps_hi / eps_lo / 4.0, 3)
     stamp = datetime.now(timezone.utc).isoformat(timespec="seconds")
+    n_batches = len(lo["extra"]["batch_times"])
     report = f"""# BENCH — scaling evidence ({stamp})
 
 North-rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
-executors, evidenced in this sandbox by the same CDC-replay job at two
-local parallelism levels on identical input: an offset-bearing JSONL change
-log of {lo['extra']['events']} Singer change events over the
-(repo, path, commit, lang, content) table, replayed by the Structured
-Streaming driver (checkpointed foreachBatch, bucket-pruned MERGE) into a
-fresh lake, separate JVM per run, best of {repeats} runs per level.
+executors, evidenced in this sandbox by the same CDC-replay job at two local
+parallelism levels on identical input: an offset-bearing JSONL change log of
+{lo['extra']['events']} Singer change events over the
+(repo, path, commit, lang, content) table ({n_batches} micro-batches of
+{lo['extra']['events'] // n_batches} events, 32 log files per batch), replayed
+by the Structured Streaming driver (checkpointed foreachBatch, max_by merge)
+into a fresh lake; one JVM per run, levels interleaved, best of {repeats}
+runs per level by median post-warmup batch.
 
-Throughput is taken at the MEDIAN post-warmup micro-batch (the first batch
-carries JVM JIT + whole-stage-codegen warmup, an identical constant at both
-levels; this sandbox VM also exhibits multi-second IO stalls and a phantom
-background load of ~8, so individual batch walls swing widely — raw batch
-times are listed for transparency).
+Protocol notes (why these levels and storage):
 
-| parallelism | total wall (s) | overall events/s | median-batch events/s | batch times (s) |
-| --- | --- | --- | --- | --- |
-| local[{n}] | {lo['queries']['cdc_replay']} | {raw_lo} | {eps_lo} | {lo['extra']['batch_times']} |
-| local[{4*n}] | {hi['queries']['cdc_replay']} | {raw_hi} | {eps_hi} | {hi['extra']['batch_times']} |
+- **N=4 vs 4N=16.** The VM advertises 32 vCPUs, but raw CPU scaling (Python
+  multiprocessing sha256, no JVM) measures 4->16 at 3.8x (0.95 eff) and
+  16->32 at only 1.3x: the host backs ~16 cores of sustained compute. 8->32
+  would measure host oversubscription, not the engine's plan.
+- **tmpfs storage** for log/lake/checkpoint/shuffle: the virtio disk stalls
+  for multiple seconds at random, which at small batch walls is the entire
+  signal. The rule targets executor scaling; a production cluster's storage
+  bandwidth scales with the cluster.
+- **Idle gate**: runs start only when 1-min load < {IDLE_MAX} (the sandbox
+  has background load waves up to ~14); the load at each run's start is
+  recorded below.
+- **Median post-warmup micro-batch** (first batch carries JIT +
+  whole-stage-codegen warmup, an identical constant at both levels).
+
+| parallelism | total wall (s) | overall events/s | median-batch events/s | batch times (s) | load at start |
+| --- | --- | --- | --- | --- | --- |
+| local[{n}] | {lo['queries']['cdc_replay']} | {raw_lo} | {eps_lo} | {lo['extra']['batch_times']} | {lo['extra']['load_at_start']} |
+| local[{4*n}] | {hi['queries']['cdc_replay']} | {raw_hi} | {eps_hi} | {hi['extra']['batch_times']} | {hi['extra']['load_at_start']} |
 
 **steady-state speedup {n}->{4*n} cores: {round(eps_hi/eps_lo, 2)}x —
-scaling efficiency: {eff}** (criterion: >= 0.8)
+scaling efficiency: {eff}** (criterion: >= 0.8 — {"MET" if eff >= 0.8 else "MISSED"})
 
-Raw bench lines:
+All runs (per level, repeats={repeats}):
 
 ```json
-{json.dumps(lo)}
-{json.dumps(hi)}
+{chr(10).join(json.dumps(r) for rs in runs.values() for r in rs)}
 ```
 """
     out = os.path.join(ROOT, "BENCH", "BASELINE.md")
