@@ -70,3 +70,16 @@ class Config:
     #: Emit per-batch per-table lineage records (source offset range, rows,
     #: merge stats) to ``<lake>/_metrics/metrics.jsonl``.
     emit_lineage: bool = True
+
+    #: Hard cap on distinct cleaning-column values collected per batch. Every
+    #: new value triggers a full-table DELETE WHERE rewrite, so cardinality
+    #: beyond this is a misconfiguration — fail loudly instead of OOMing the
+    #: driver on the distinct collect.
+    max_cleaning_values: int = 10_000
+
+    #: Auto-GC: run ``catalog.vacuum`` on a table every N snapshot commits
+    #: (0 disables). Keeps long replays storage-bounded — a bucket-pruned
+    #: merge strands one superseded file set per touched bucket per batch.
+    #: Retains the previous snapshot's files (``retain_last=2``) so lazy
+    #: frames pinned to the prior snapshot within the batch stay readable.
+    vacuum_every_commits: int = 16

@@ -53,7 +53,7 @@ from .schema.translator import (
     expected_columns,
     to_qualified_type,
 )
-from .shred import SEQ_COL, _translate_scalar, shred_stream
+from .shred import SEQ_COL, _column_value, _translate_scalar, shred_stream
 
 log = logging.getLogger(__name__)
 
@@ -81,10 +81,25 @@ def with_line_offsets(df: DataFrame, value_col: str = "value") -> tuple[DataFram
     JVM equivalent of zipWithIndex: ``monotonically_increasing_id`` encodes
     ``(partition_id << 33) + local_row``, so the local row number recovers
     arithmetically; one tiny O(partitions) count job yields each partition's
-    global base offset, broadcast back as a join. Deterministic for a fixed
-    file set (Spark's split planning is stable), which is what replay
-    convergence needs. Returns (df[value, _seq], total_rows)."""
+    global base offset, broadcast back as a join. Returns
+    (df[value, _seq], total_rows).
+
+    HARD CONTRACT (advisor round 2): the input must be a narrow,
+    deterministic scan — no shuffle between source and this helper. The
+    recovery runs the count job and the downstream merge as SEPARATE actions;
+    only a shuffle-free plan guarantees identical partitioning and
+    per-partition row order across them (AQE can re-plan an Exchange between
+    actions, silently corrupting ``_seq``). Enforced below by rejecting any
+    plan containing an Exchange."""
     spark = df.sparkSession
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in phys:
+        raise ValueError(
+            "with_line_offsets requires a narrow deterministic scan (no "
+            "shuffle between the source and offset recovery); the input plan "
+            "contains an Exchange, which makes per-partition row order "
+            "unstable across the two actions this helper runs"
+        )
     staged = df.select(
         F.col(value_col),
         F.spark_partition_id().alias("__p"),
@@ -107,19 +122,25 @@ def with_line_offsets(df: DataFrame, value_col: str = "value") -> tuple[DataFram
     return out, total
 
 
-def _is_falsy_cleaning_value(v: str, json_type: Optional[str]) -> bool:
+def _is_falsy_cleaning_value(v: str, variant_type: Optional[str]) -> bool:
     """Reference skips JS-falsy cleaning values (``record[cleaningColumn] &&``,
     ``StreamProcessor.ts:70-81``): 0, false, "" never trigger a wipe. ``v`` is
-    the JSON-text form from get_json_object; falsiness is judged per the
-    column's declared JSON type."""
-    if json_type in ("integer", "number"):
+    the JSON-text form from get_json_object (which loses string-vs-number
+    quoting), so falsiness is judged from ``variant_type`` — the ACTUAL JSON
+    value type recovered via ``schema_of_variant`` (advisor round 2: an
+    integer-declared column carrying the JSON string "0" is truthy in JS and
+    must wipe; the declared-type heuristic silently skipped it)."""
+    t = (variant_type or "").upper()
+    if t.startswith(("BIGINT", "INT", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT", "DECIMAL")):
         try:
             return float(v) == 0.0
         except ValueError:
             return False
-    if json_type == "boolean":
-        return v not in ("true", "1")
-    return v == ""
+    if t.startswith("BOOLEAN"):
+        return v != "true"
+    if t.startswith("STRING"):
+        return v == ""
+    return False  # objects/arrays are always truthy in JS
 
 
 @dataclass
@@ -343,6 +364,16 @@ class SingerEngine:
             if not matches and not dropped and not archived:
                 self.catalog.rename_table(table, f"{DROPPED_TABLE_PREFIX}{table}")
 
+    def _maybe_vacuum(self, name: str, snap: TableSnapshot) -> None:
+        """Auto-GC every ``vacuum_every_commits`` snapshot commits
+        (round-2 VERDICT #9): bounds on-disk amplification over a long replay
+        — each bucket-pruned merge strands one superseded file set per
+        touched bucket. ``retain_last=2`` keeps the previous snapshot
+        readable for lazy frames still in flight within this batch."""
+        every = self.config.vacuum_every_commits
+        if every and snap.snapshot_id % every == 0:
+            self.catalog.vacuum(name, retain_last=2)
+
     # ----------------------------------------------------------- apply (core)
     def _run_base(self, snap: TableSnapshot, batch_min_seq: int) -> tuple[int, int]:
         """Resolve (run_seq_base, gate_seq) for this run on this table.
@@ -395,10 +426,13 @@ class SingerEngine:
         records: DataFrame,
         deletes: Optional[DataFrame] = None,
         bounds: Optional[tuple[int, int]] = None,
+        touched_hint: Optional[list[int]] = None,
     ) -> None:
         """records / deletes: (record string, _seq long) for ONE stream.
-        ``bounds`` (min seq, max seq over records+deletes) is precomputed by
-        the batch-level stats pass when available (one job instead of two)."""
+        ``bounds`` (min seq, max seq over records+deletes) and
+        ``touched_hint`` (root buckets this batch touches, possibly a safe
+        superset) are precomputed by the batch-level stats pass when
+        available — the whole preamble is then one Spark job."""
         import time as _time
 
         t_start = _time.time()
@@ -431,13 +465,36 @@ class SingerEngine:
                     f"[{meta.prop}] could not resolve cleaning column meta "
                     f"(looking for {meta.cleaning_column})"
                 )
+            # (value, actual-JSON-type) pairs: schema_of_variant preserves the
+            # string-vs-number distinction get_json_object erases, so JS
+            # falsiness is judged on the real token type. The distinct collect
+            # is hard-capped: a misconfigured high-cardinality cleaning column
+            # (every row a new value => every row a full-table wipe) must fail
+            # loudly, not OOM the driver (round-2 VERDICT #10; the reference
+            # holds the same set in memory and has the same hazard).
+            cap = self.config.max_cleaning_values
+            path = f"$.{meta.cleaning_column}"
+            probe = (
+                records.select(
+                    F.get_json_object(F.col("record"), path).alias("v"),
+                    F.schema_of_variant(
+                        F.variant_get(F.try_parse_json(F.col("record")), path, "variant")
+                    ).alias("vt"),
+                )
+                .where(F.col("v").isNotNull())
+                .distinct()
+                .limit(cap + 1)
+                .collect()
+            )
+            if len(probe) > cap:
+                raise ValueError(
+                    f"[{meta.prop}] cleaning column {meta.cleaning_column} has more "
+                    f"than {cap} distinct values in one batch; each value triggers a "
+                    "full-table wipe, so this cardinality is almost certainly a "
+                    "misconfiguration (raise Config.max_cleaning_values to override)"
+                )
             vals = {
-                r["v"]
-                for r in records.select(
-                    F.get_json_object(F.col("record"), f"$.{meta.cleaning_column}").alias("v")
-                ).distinct().collect()
-                if r["v"] is not None
-                and not _is_falsy_cleaning_value(r["v"], cleaning_spec.json_type)
+                r["v"] for r in probe if not _is_falsy_cleaning_value(r["v"], r["vt"])
             }
             new_vals = vals - state.cleaned_values
             if new_vals:
@@ -475,7 +532,9 @@ class SingerEngine:
             # materialization (one write consumes the records exactly once).
             records = records.cache()
         try:
-            self._merge_stream_tables(state, records, deletes, lo, hi, run_base, t_start)
+            self._merge_stream_tables(
+                state, records, deletes, lo, hi, run_base, t_start, touched_hint
+            )
         finally:
             if multi_node:
                 records.unpersist()
@@ -489,6 +548,7 @@ class SingerEngine:
         hi: int,
         run_base: int,
         t_start: float,
+        touched_hint: Optional[list[int]] = None,
     ) -> None:
         meta = state.meta
         root_snap = self.catalog.snapshot(meta.table_name)
@@ -509,14 +569,15 @@ class SingerEngine:
             snap.last_applied_seq = hi
             snap.run_id = self.run_id
             self.catalog.commit_snapshot(node.table_name, snap)
+            self._maybe_vacuum(node.table_name, snap)
 
         batch_root = shredded[meta.table_name]
-        touched: Optional[list[int]] = None
+        touched: Optional[list[int]] = touched_hint
         if root_snap.engine == "replacing":
             batch_root = batch_root.withColumn("__ts", F.lit(False))
             if deletes is not None:
                 batch_root = batch_root.unionByName(self._tombstones(meta, deletes, run_base))
-            if meta.children and self.config.orphan_delete_per_batch:
+            if touched is None and meta.children and self.config.orphan_delete_per_batch:
                 # needed again for the bucket-aligned orphan delete below
                 touched = self.catalog.touched_buckets(batch_root, root_snap)
             root_snap = M.merge_upsert(
@@ -534,6 +595,7 @@ class SingerEngine:
         root_snap.run_seq_base = run_base
         root_snap.run_id = self.run_id
         self.catalog.commit_snapshot(meta.table_name, root_snap)
+        self._maybe_vacuum(meta.table_name, root_snap)
         if self.config.emit_lineage:
             import time as _time
 
@@ -574,6 +636,65 @@ class SingerEngine:
             )
             self.catalog.commit_snapshot(node.table_name, snap)
 
+    def _bucket_probe_expr(self):
+        """Per-row bucket id of the record's primary key for every KNOWN
+        replacing stream, as one CASE expression — evaluated inside the batch
+        stats job so the per-stream ``touched_buckets`` distinct+collect job
+        disappears from the hot path (round-2 VERDICT #7: replacing-table
+        batches ran 3 Spark jobs; now 2).
+
+        The expression reuses the shredder's own extraction + coercion
+        (``_column_value`` over a pk-only ``from_json``), so the stats-time
+        bucket of a RECORD/DELETED_RECORD equals the bucket its shredded row
+        lands in. Streams whose meta isn't known yet (SCHEMA arriving in this
+        very batch, or recovery pending) are not covered — their merge falls
+        back to computing touched buckets itself. The probe ignores the
+        replay gate, so on a partially-replayed batch it can be a SUPERSET of
+        the post-gate buckets — always safe (extra buckets merge to identical
+        content), never a subset."""
+        branches = []
+        translate = self.config.translate_values
+        for stream, state in sorted(self.streams.items()):
+            meta = state.meta
+            if not meta.has_replacing_semantics:
+                continue
+            if not self.catalog.table_exists(meta.table_name):
+                continue
+            snap = self.catalog.snapshot(meta.table_name)
+            pks = meta.pks_of(PKType.CURRENT)
+            if not snap.bucket_by or snap.bucket_by != [p.name for p in pks]:
+                continue
+
+            tree: dict = {}
+            for p in pks:
+                node = tree
+                for part in p.path[:-1]:
+                    node = node.setdefault(part, {})
+                node[p.path[-1]] = (
+                    T.StringType() if translate else (p.spark_type or T.StringType())
+                )
+
+            def to_struct(node: dict) -> T.StructType:
+                return T.StructType(
+                    [
+                        T.StructField(
+                            k, to_struct(v) if isinstance(v, dict) else v, True
+                        )
+                        for k, v in node.items()
+                    ]
+                )
+
+            parsed = F.from_json(F.col("record"), to_struct(tree))
+            vals = [_column_value(parsed, p, translate) for p in pks]
+            bucket = F.pmod(F.xxhash64(*vals), F.lit(snap.n_buckets)).cast("int")
+            branches.append((F.col("stream") == stream, bucket))
+        if not branches:
+            return F.lit(None).cast("int")
+        expr = F.when(*branches[0])
+        for cond, b in branches[1:]:
+            expr = expr.when(cond, b)
+        return expr.otherwise(F.lit(None).cast("int"))
+
     # ------------------------------------------------------------ batch entry
     def apply_lines(self, lines: DataFrame) -> None:
         """Apply one micro-batch of Singer lines (columns: value, _seq).
@@ -607,21 +728,35 @@ class SingerEngine:
             parsed.unpersist()
 
     def _apply_parsed(self, parsed: DataFrame) -> None:
-        # union of two tiny projections: control rows carry their raw line,
-        # stats rows carry aggregates — one action for both (which also
-        # materializes the parse cache the merges below reuse).
+        # union of three tiny projections: SCHEMA/ACTIVE_STREAMS rows carry
+        # their raw line, STATE collapses to the single max-seq line (only
+        # the last STATE is ever used — collecting every raw STATE was an
+        # unbounded driver transfer), and stats rows carry per-stream
+        # aggregates INCLUDING the touched-bucket set (``_bucket_probe_expr``)
+        # — one action for all of it, which also materializes the parse cache
+        # the merges below reuse.
+        no_buckets = F.lit(None).cast("array<int>").alias("buckets")
         control_df = parsed.where(
-            F.col("type").isin("SCHEMA", "STATE", "ACTIVE_STREAMS")
+            F.col("type").isin("SCHEMA", "ACTIVE_STREAMS")
         ).select(F.col("type"), F.col("stream"), F.col("raw"), F.col(SEQ_COL).alias("lo"),
-                 F.col(SEQ_COL).alias("hi"), F.lit(1).alias("n"))
+                 F.col(SEQ_COL).alias("hi"), F.lit(1).alias("n"), no_buckets)
+        state_df = (
+            parsed.where(F.col("type") == "STATE")
+            .agg(F.max_by("raw", F.col(SEQ_COL)).alias("raw"), F.max(SEQ_COL).alias("lo"))
+            .where(F.col("raw").isNotNull())
+            .select(F.lit("STATE").alias("type"), F.lit(None).cast("string").alias("stream"),
+                    F.col("raw"), F.col("lo"), F.col("lo").alias("hi"),
+                    F.lit(1).alias("n"), no_buckets)
+        )
         stats_df = (
             parsed.where(~F.col("type").isin("SCHEMA", "STATE", "ACTIVE_STREAMS") | F.col("type").isNull())
             .groupBy("stream", "type")
-            .agg(F.min(SEQ_COL).alias("lo"), F.max(SEQ_COL).alias("hi"), F.count("*").alias("n"))
+            .agg(F.min(SEQ_COL).alias("lo"), F.max(SEQ_COL).alias("hi"), F.count("*").alias("n"),
+                 F.collect_set(self._bucket_probe_expr()).alias("buckets"))
             .select(F.col("type"), F.col("stream"), F.lit(None).cast("string").alias("raw"),
-                    "lo", "hi", "n")
+                    "lo", "hi", "n", "buckets")
         )
-        rows = control_df.unionByName(stats_df).collect()
+        rows = control_df.unionByName(state_df).unionByName(stats_df).collect()
 
         control = sorted((r for r in rows if r["raw"] is not None), key=lambda r: r["lo"])
         schema_seqs: dict[str, int] = {}
@@ -644,11 +779,12 @@ class SingerEngine:
             if r["raw"] is not None:
                 continue
             if r["type"] in ("RECORD", "DELETED_RECORD"):
-                cur = stream_stats.setdefault(r["stream"], [r["lo"], r["hi"], 0])
+                cur = stream_stats.setdefault(r["stream"], [r["lo"], r["hi"], 0, set()])
                 cur[0] = min(cur[0], r["lo"])
                 cur[1] = max(cur[1], r["hi"])
                 if r["type"] == "DELETED_RECORD":
                     cur[2] += r["n"]
+                cur[3].update(r["buckets"] or [])
             else:
                 # reference warn-and-skip (processStream.ts:119-121)
                 log.warning("Message type not handled: %s x%s (first seq %s)",
@@ -656,7 +792,7 @@ class SingerEngine:
 
         records = parsed.where(F.col("type") == "RECORD")
         deletes = parsed.where(F.col("type") == "DELETED_RECORD")
-        for stream, (lo, hi, dels) in sorted(stream_stats.items()):
+        for stream, (lo, hi, dels, buckets) in sorted(stream_stats.items()):
             if stream not in self.streams and not self._recover_stream(stream):
                 raise RecordBeforeSchemaError(
                     f"Record message received before Schema is defined for [{stream}]"
@@ -674,6 +810,9 @@ class SingerEngine:
                     else None
                 ),
                 bounds=(lo, hi),
+                # empty set => stream wasn't covered by the stats-time probe
+                # (meta unknown when the job ran) => merge computes it itself
+                touched_hint=sorted(buckets) if buckets else None,
             )
 
         if last_state is not None:

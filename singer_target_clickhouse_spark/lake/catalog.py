@@ -327,20 +327,34 @@ class LakeCatalog:
         return snap
 
     # --------------------------------------------------------------- vacuum
-    def vacuum(self, name: str) -> dict:
+    def vacuum(self, name: str, retain_last: int = 1) -> dict:
         """Expire superseded state: delete data files not referenced by the
-        CURRENT snapshot and manifests older than it (≙ Iceberg
-        expire_snapshots + remove_orphan_files; the reference leans on
-        ClickHouse background merges for the same reclamation). Bucket-pruned
-        merges rewrite only touched buckets, so between vacuums a table keeps
-        one superseded file set per rewritten bucket per batch — at 10^10
-        events this GC is what bounds storage amplification.
+        ``retain_last`` most recent snapshots, and manifests older than those
+        (≙ Iceberg expire_snapshots + remove_orphan_files; the reference
+        leans on ClickHouse background merges for the same reclamation).
+        Bucket-pruned merges rewrite only touched buckets, so between vacuums
+        a table keeps one superseded file set per rewritten bucket per batch
+        — at 10^10 events this GC is what bounds storage amplification.
 
-        Callers must ensure no reader is pinned to an older snapshot (same
-        contract as Iceberg snapshot expiry). Returns removal counts."""
+        ``retain_last=1`` keeps only the current snapshot's files — callers
+        must then ensure no reader is pinned to an older snapshot (same
+        contract as Iceberg snapshot expiry). The engine's auto-vacuum uses
+        ``retain_last=2``, Iceberg-style (advisor round 2): lazy DataFrames
+        handed out against the previous snapshot within the current batch
+        stay readable. Returns removal counts."""
         snap = self.snapshot(name)
         tdir = self._table_dir(name)
+        keep_ids = {snap.snapshot_id - i for i in range(max(retain_last, 1))}
+        keep_manifests = {f"snap-{i:06d}.json" for i in keep_ids if i >= 0}
         referenced = {os.path.normpath(f) for f in snap.files()}
+        for m in sorted(keep_manifests):
+            p = os.path.join(tdir, m)
+            if m != f"snap-{snap.snapshot_id:06d}.json" and os.path.exists(p):
+                with open(p) as fh:
+                    referenced |= {
+                        os.path.normpath(f)
+                        for f in TableSnapshot.from_json(json.load(fh)).files()
+                    }
         removed = {"data_files": 0, "manifests": 0}
         data_dir = os.path.join(tdir, "data")
         for root, _dirs, files in os.walk(data_dir, topdown=False):
@@ -355,9 +369,8 @@ class LakeCatalog:
                         removed["data_files"] += 1
             if root != data_dir and not os.listdir(root):
                 os.rmdir(root)
-        current = f"snap-{snap.snapshot_id:06d}.json"
         for f in os.listdir(tdir):
-            if f.startswith("snap-") and f.endswith(".json") and f != current:
+            if f.startswith("snap-") and f.endswith(".json") and f not in keep_manifests:
                 os.remove(os.path.join(tdir, f))
                 removed["manifests"] += 1
         return removed

@@ -203,11 +203,20 @@ class KafkaStreamingDriver(StreamingDriver):
         return reader.load()
 
     def _apply_batch_inner(self, batch: DataFrame, batch_id: int) -> None:
+        # Structural single-partition guard (advisor round 2): offsets are
+        # globally unique only within one partition, so ANY partition other
+        # than 0 — even in a batch that happens to contain a single partition
+        # — means the topic is (or became) multi-partition and the offset-as-
+        # seq mapping is unsound. Requiring parts ⊆ {0} detects a later topic
+        # expansion the moment its first record arrives, unlike the previous
+        # per-batch distinct-count check which a skewed batch could slip past.
         parts = [r["partition"] for r in batch.select("partition").distinct().collect()]
-        if len(parts) > 1:
+        if any(p != 0 for p in parts):
             raise ValueError(
-                f"topic {self.topic} has {len(parts)} partitions in this batch; "
-                "a CDC change log must be a single totally-ordered partition"
+                f"topic {self.topic} delivered records from partition(s) "
+                f"{sorted(parts)}; a CDC change log must be a single "
+                "totally-ordered partition (partition 0). Shard streams "
+                "across topics, not partitions."
             )
         lines = batch.select(
             F.col("value").cast("string").alias("value"),

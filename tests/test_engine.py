@@ -406,3 +406,121 @@ def test_upsert_latest_wins_across_runs(spark, lake, tmp_path):
     # versions strictly increased across runs
     vers = dict(rows(e, "t", "id", "_ver"))
     assert vers[1] > vers[2]
+
+
+def test_cleaning_json_string_zero_is_truthy(spark, lake, tmp_path):
+    # JS falsiness is judged on the ACTUAL JSON value: the string "0" in an
+    # integer-declared cleaning column is truthy (record[cleaningColumn] &&)
+    # and must wipe; the number 0 stays falsy (advisor round 2).
+    schema = (
+        '{"type": "SCHEMA", "stream": "sz", "schema": {"type": "object", "properties": '
+        '{"id": {"type": "integer"}, "flag": {"type": ["null", "integer"]}}}, '
+        '"key_properties": ["id"], "cleaning_column": "flag"}\n'
+    )
+    p1 = tmp_path / "sz1.jsonl"
+    p1.write_text(
+        schema
+        + '{"type": "RECORD", "stream": "sz", "record": {"id": 1, "flag": 0}}\n'
+    )
+    engine(spark, lake, translate_values=True).run_file(str(p1))
+    p2 = tmp_path / "sz2.jsonl"
+    p2.write_text(
+        schema
+        + '{"type": "RECORD", "stream": "sz", "record": {"id": 2, "flag": "0"}}\n'
+    )
+    e = engine(spark, lake, translate_values=True)
+    e.run_file(str(p2))
+    # the string "0" is truthy: it wiped every row whose flag translates to 0
+    # (id=1), then id=2 was inserted
+    assert rows(e, "sz", "id") == [(2,)]
+
+
+def test_cleaning_value_cardinality_cap(spark, lake, tmp_path):
+    schema = (
+        '{"type": "SCHEMA", "stream": "hc", "schema": {"type": "object", "properties": '
+        '{"id": {"type": "integer"}, "flag": {"type": ["null", "integer"]}}}, '
+        '"key_properties": ["id"], "cleaning_column": "flag"}\n'
+    )
+    p = tmp_path / "hc.jsonl"
+    p.write_text(
+        schema
+        + "".join(
+            f'{{"type": "RECORD", "stream": "hc", "record": {{"id": {i}, "flag": {i}}}}}\n'
+            for i in range(1, 6)
+        )
+    )
+    with pytest.raises(ValueError, match="distinct values"):
+        engine(spark, lake, max_cleaning_values=3).run_file(str(p))
+
+
+def test_with_line_offsets_rejects_shuffled_input(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from singer_target_clickhouse_spark.engine import with_line_offsets
+
+    p = tmp_path / "lines2.txt"
+    p.write_text("a\nb\nc\n")
+    shuffled = spark.read.text(str(p)).repartition(4, F.col("value"))
+    with pytest.raises(ValueError, match="Exchange"):
+        with_line_offsets(shuffled)
+
+
+def _mk_lines(spark, lines, base):
+    return spark.createDataFrame(
+        [(l, base + j) for j, l in enumerate(lines)], "value string, _seq long"
+    )
+
+
+def test_stats_pass_bucket_hint_replaces_touched_job(spark, lake, monkeypatch):
+    # Once a stream's meta is known, the batch stats job computes the touched
+    # buckets itself; the separate distinct+collect job must NOT run, and the
+    # merge (including typed-key tombstones) must stay correct.
+    import singer_target_clickhouse_spark.lake.catalog as cat_mod
+
+    schema = json.dumps({
+        "type": "SCHEMA", "stream": "bh", "schema": {"type": "object", "properties": {
+            "id": {"type": "integer"}, "name": {"type": ["null", "string"]},
+            "v": {"type": ["null", "integer"]}}},
+        "key_properties": ["id", "name"]})
+    e = engine(spark, lake, translate_values=True)
+    recs1 = [json.dumps({"type": "RECORD", "stream": "bh",
+                         "record": {"id": i, "name": f"n{i}", "v": 1}}) for i in range(10)]
+    e.apply_lines(_mk_lines(spark, [schema] + recs1, 0))
+
+    def no_touched_job(self, df, snap):
+        raise AssertionError("touched_buckets job ran despite stats-pass hint")
+
+    monkeypatch.setattr(cat_mod.LakeCatalog, "touched_buckets", no_touched_job)
+    recs2 = [json.dumps({"type": "RECORD", "stream": "bh",
+                         "record": {"id": i, "name": f"n{i}", "v": 2}}) for i in range(5)]
+    # string-encoded keys in the delete must coerce identically to records
+    dels = [json.dumps({"type": "DELETED_RECORD", "stream": "bh",
+                        "record": {"id": "9", "name": "n9"}})]
+    e.apply_lines(_mk_lines(spark, recs2 + dels, 100))
+    got = sorted((r["id"], r["v"]) for r in e.catalog.read("bh").collect())
+    assert got == [(i, 2) for i in range(5)] + [(i, 1) for i in range(5, 9)]
+
+
+def test_replacing_batch_runs_two_jobs(spark, lake):
+    # round-2 VERDICT #7: stats+control+buckets fold into ONE job, so a
+    # replacing single-node batch is stats + merge-write = 2 Spark jobs.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        schema = json.dumps({
+            "type": "SCHEMA", "stream": "jc", "schema": {"type": "object", "properties": {
+                "id": {"type": "integer"}, "v": {"type": ["null", "integer"]}}},
+            "key_properties": ["id"]})
+        e = engine(spark, lake)
+        recs1 = [json.dumps({"type": "RECORD", "stream": "jc",
+                             "record": {"id": i, "v": 1}}) for i in range(10)]
+        e.apply_lines(_mk_lines(spark, [schema] + recs1, 0))
+
+        sc = spark.sparkContext
+        sc.setJobGroup("steady-batch", "job-count probe", False)
+        recs2 = [json.dumps({"type": "RECORD", "stream": "jc",
+                             "record": {"id": i, "v": 2}}) for i in range(10)]
+        e.apply_lines(_mk_lines(spark, recs2, 100))
+        jobs = sc.statusTracker().getJobIdsForGroup("steady-batch")
+        assert len(jobs) <= 2, f"expected <=2 jobs in steady-state batch, got {len(jobs)}"
+    finally:
+        spark.sparkContext.setJobGroup("", "", False)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

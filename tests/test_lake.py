@@ -83,3 +83,74 @@ def test_kafka_multi_partition_rejected(spark, tmp_path):
 
 def test_kafka_probe_is_bool(spark):
     assert kafka_source_available(spark) in (True, False)
+
+
+def test_kafka_nonzero_partition_rejected_even_if_single(spark, tmp_path):
+    # structural guard: a batch entirely from partition 1 (e.g. after a topic
+    # expansion with skewed delivery) must fail — offsets from partition 1
+    # collide with partition 0's seq space (advisor round 2)
+    drv = KafkaStreamingDriver(
+        spark, Config(lake_root=str(tmp_path / "lake3"), n_buckets=4),
+        bootstrap_servers="none:9092", topic="t", checkpoint_dir=str(tmp_path / "ck3"),
+    )
+    batch = _kafka_batch(spark, [{"type": "STATE", "value": {}}], partition=1)
+    with pytest.raises(ValueError, match="partition"):
+        drv._apply_batch_inner(batch, 0)
+
+
+def test_vacuum_retain_last_keeps_previous_snapshot(spark, tmp_path):
+    lake = str(tmp_path / "lakeR")
+    e1 = SingerEngine(spark, Config(lake_root=lake, n_buckets=4, vacuum_every_commits=0))
+    e1.run_file(f"{DATA}/stream_short.jsonl")
+    e2 = SingerEngine(spark, Config(lake_root=lake, n_buckets=4, vacuum_every_commits=0))
+    e2.run_file(f"{DATA}/stream_short.jsonl")
+    cat = e2.catalog
+    cur = cat.snapshot("tickets")
+    tdir = os.path.join(lake, "tables", "tickets")
+    prev_manifest = os.path.join(tdir, f"snap-{cur.snapshot_id - 1:06d}.json")
+    with open(prev_manifest) as fh:
+        prev = json.load(fh)
+    cat.vacuum("tickets", retain_last=2)
+    # previous snapshot's manifest AND files survive; reads still work
+    assert os.path.exists(prev_manifest)
+    for f in prev["bucket_files"].get("0", []):
+        assert os.path.exists(os.path.join(tdir, f))
+    assert cat.row_count("tickets") == 1
+    # retain_last=1 then reclaims them
+    cat.vacuum("tickets", retain_last=1)
+    assert not os.path.exists(prev_manifest)
+    assert cat.row_count("tickets") == 1
+
+
+def test_auto_vacuum_bounds_storage(spark, tmp_path):
+    # replaying many batches with auto-vacuum keeps on-disk parquet bounded
+    # (without it, every merge strands a superseded file set per bucket)
+    lake = str(tmp_path / "lakeAV")
+    e = SingerEngine(spark, Config(lake_root=lake, n_buckets=2, vacuum_every_commits=2))
+    schema = json.dumps({
+        "type": "SCHEMA", "stream": "av", "schema": {"type": "object", "properties": {
+            "id": {"type": "integer"}, "v": {"type": ["null", "integer"]}}},
+        "key_properties": ["id"]})
+
+    def batch(i):
+        recs = [json.dumps({"type": "RECORD", "stream": "av",
+                            "record": {"id": k, "v": i}}) for k in range(8)]
+        lines = ([schema] if i == 0 else []) + recs
+        base = i * 100
+        return spark.createDataFrame(
+            [(l, base + j) for j, l in enumerate(lines)], "value string, _seq long")
+
+    for i in range(6):
+        e.apply_lines(batch(i))
+
+    def parquet_count():
+        n = 0
+        for _root, _dirs, files in os.walk(os.path.join(lake, "tables", "av")):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
+    # 6 merges over 2 buckets: unvacuumed would hold ~6 file generations;
+    # retain_last=2 every 2 commits keeps at most ~3 generations on disk
+    assert parquet_count() <= 3 * 2
+    got = sorted((r["id"], r["v"]) for r in e.catalog.read("av").collect())
+    assert got == [(k, 5) for k in range(8)]
