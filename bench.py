@@ -60,10 +60,18 @@ def bench_cdc_replay(spark, sf_dir: str, n_files: int = None, files_per_trigger:
     n_files = n_files or int(os.environ.get("STCS_BENCH_NFILES", "8"))
     files_per_trigger = files_per_trigger or int(os.environ.get("STCS_BENCH_FPT", "2"))
     content_len = int(os.environ.get("STCS_BENCH_CONTENT_LEN", "64"))
-    events = change_events_df(spark, n, n_repos=200, paths_per_repo=2000,
-                              content_len=content_len)
-    log_dir = write_jsonl(events, tempfile.mkdtemp(prefix="stcs_bench_log_"),
-                          n_files=n_files, with_offsets=True)
+    # The generated log is a pure function of (n, n_files, content_len):
+    # STCS_BENCH_LOG_DIR lets a scaling campaign generate it ONCE and replay
+    # the identical bytes at every parallelism level (generation is untimed
+    # but took longer than the measured replay at low core counts).
+    shared = os.environ.get("STCS_BENCH_LOG_DIR")
+    if shared and os.path.exists(os.path.join(shared, "_SUCCESS")):
+        log_dir = shared
+    else:
+        events = change_events_df(spark, n, n_repos=200, paths_per_repo=2000,
+                                  content_len=content_len)
+        log_dir = write_jsonl(events, shared or tempfile.mkdtemp(prefix="stcs_bench_log_"),
+                              n_files=n_files, with_offsets=True)
     lake = tempfile.mkdtemp(prefix="stcs_bench_lake_")
     ckpt = tempfile.mkdtemp(prefix="stcs_bench_ckpt_")
     driver = StreamingDriver(

@@ -143,6 +143,11 @@ def signature_probes(sig: Column, n_planes: int) -> Column:
     return F.array(sig, *[sig.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)])
 
 
+#: Seed stride between OR-amplified signature tables (any odd constant works;
+#: fixed so engine and oracle derive identical plane sets per table).
+TABLE_SEED_STRIDE = 7919
+
+
 def cosine_pairs_lsh(
     df: DataFrame,
     dim: int,
@@ -151,34 +156,90 @@ def cosine_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Embedding near-dup pairs at scale: hyperplane-LSH bucket join + exact
-    cosine verify (the fix for round-1's all-pairs cartesian — VERDICT
-    'What's wrong #3').
+    """Embedding near-dup pairs at scale: OR-amplified hyperplane-LSH bucket
+    joins + exact cosine verify (no all-pairs cartesian).
 
-    One side keeps its exact signature; the other explodes its multi-probe
-    set (signature + all 1-bit flips), so any pair within hamming distance 1
-    of each other's buckets is a candidate — then the exact cosine filters.
-    The only shuffle is the equi-join on the signature key, whose fan-out is
-    bucket-local: candidate volume ~ sum of bucket sizes squared /
-    2^n_planes, not n^2. Signatures are md5-derived (deterministic across
-    engines and replays), so a DuckDB oracle reproduces the exact output."""
+    Per table, one side keeps its exact signature and the other explodes its
+    multi-probe set (signature + all 1-bit flips), so any pair within
+    hamming distance 1 of each other's buckets is a candidate; candidates
+    from all ``n_tables`` independent tables (plane seeds ``seed +
+    TABLE_SEED_STRIDE * t``) union, dedup on (a_id, b_id), and only then
+    fetch vectors for the exact verify. The only shuffles are the signature
+    equi-joins (bucket-local fan-out) and the candidate dedup (id pairs
+    only). Signatures are md5-derived, so a DuckDB oracle reproduces the
+    exact output.
+
+    Recall model (advisor round 2 — single-table hamming<=1 probing found
+    only ~10% of cos>=0.35 pairs): a pair at cosine c agrees per plane with
+    p = 1 - arccos(c)/pi; one table finds it with P1 = p^k + k·p^(k-1)(1-p)
+    (k = n_planes), and L tables with 1-(1-P1)^L. Size L to the target
+    recall: at c=0.35, k=8 → P1≈0.12, so L=18 gives ~0.90 (measured 0.945
+    on the sf0.01 corpus, asserted as a sampled brute-force recall check in
+    tests/test_ops.py). Low thresholds are inherently expensive for
+    sign-random-projection LSH (p1/p0 gap shrinks toward 0.5): at c>=0.8,
+    P1≈0.49 and L=4 already reaches 0.93 with far fewer candidates."""
+    sigs = [
+        hyperplane_signature(
+            F.col(vec_col), dim, n_planes, seed + TABLE_SEED_STRIDE * t
+        ).alias(f"sig{t}")
+        for t in range(n_tables)
+    ]
+    # ONE staged projection carries all table signatures, then ONE bucket
+    # join keyed on (table, signature) — the minhash banding pattern. A
+    # per-table join loop (the first draft) duplicated the n_tables
+    # signature expression trees into every join branch (18 tables ->
+    # ~18^2 sig trees in the plan) and planning/codegen blew up.
     v = df.select(
-        F.col(id_col).alias("id"),
-        _as_double(F.col(vec_col)).alias("vec"),
-        hyperplane_signature(F.col(vec_col), dim, n_planes, seed).alias("sig"),
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec"), *sigs
     )
+    exact = v.select(
+        "id",
+        F.posexplode(
+            F.array(*[
+                F.struct(F.lit(t).alias("t"), F.col(f"sig{t}").alias("key"))
+                for t in range(n_tables)
+            ])
+        ).alias("__i", "tk"),
+    ).select("id", "tk.t", "tk.key")
+    def tag(t: int):
+        # NB: single-arg closure — a `lambda p, t=t` would have arity 2 and
+        # pyspark would pass the ARRAY INDEX as the second argument,
+        # silently replacing the table id (HOF arity comes from the Python
+        # signature).
+        return lambda p: F.struct(F.lit(t).alias("t"), p.alias("key"))
+
     probed = v.select(
         F.col("id").alias("b_id"),
-        F.col("vec").alias("b_vec"),
-        F.explode(signature_probes(F.col("sig"), n_planes)).alias("probe"),
+        F.explode(
+            F.flatten(
+                F.array(*[
+                    F.transform(signature_probes(F.col(f"sig{t}"), n_planes), tag(t))
+                    for t in range(n_tables)
+                ])
+            )
+        ).alias("tk"),
+    ).select("b_id", F.col("tk.t").alias("bt"), F.col("tk.key").alias("probe"))
+    cand = (
+        exact.join(
+            probed,
+            (F.col("t") == F.col("bt"))
+            & (F.col("key") == F.col("probe"))
+            & (F.col("id") < F.col("b_id")),
+        )
+        .select(F.col("id").alias("a_id"), "b_id")
+        .dropDuplicates(["a_id", "b_id"])
     )
+    va = v.select(F.col("id").alias("a_id"), F.col("vec").alias("a_vec"))
+    vb = v.select(F.col("id").alias("b_id"), F.col("vec").alias("b_vec"))
     return (
-        v.join(probed, (F.col("sig") == F.col("probe")) & (F.col("id") < F.col("b_id")))
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
         .select(
-            F.col("id").alias("a_id"),
-            F.col("b_id"),
-            F.round(cosine(F.col("vec"), F.col("b_vec")), 4).alias("cos_sim"),
+            "a_id",
+            "b_id",
+            F.round(cosine(F.col("a_vec"), F.col("b_vec")), 4).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
