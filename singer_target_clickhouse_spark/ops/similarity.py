@@ -59,21 +59,38 @@ def cosine_topk(
     )
 
 
+def plane_components(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic hyperplane components: component(p, j) =
+    (int(md5(f'{seed}:{p}:{j}')[:15], 16) % 2001 - 1000) / 1000.0. Computed
+    HOST-side (hashlib) and emitted as literal doubles — the earlier
+    in-plan form (conv(substring(md5(lit),...))) built ~8 expression nodes
+    per component and Catalyst spent MINUTES analyzing/folding the
+    multi-table signature trees (67 s planning for 48 planes x 64 dims,
+    data-independent). Identical values either way: both engines reduce the
+    same integer arithmetic to the same IEEE double, which is what lets the
+    DuckDB oracle reproduce signatures bit-exactly."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{seed}:{p}:{j}".encode()).hexdigest()[:15], 16) % 2001 - 1000)
+            / 1000.0
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
 def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16, seed: int = 42) -> Column:
     """Deterministic random-hyperplane LSH signature (a bit per plane).
     Plane components derive from a hash of (seed, plane, component) — no
     stored model, reproducible across engines and replays."""
     bits = []
-    for p in range(n_planes):
-        comps = [
-            (F.conv(F.substring(F.md5(F.lit(f"{seed}:{p}:{j}")), 1, 15), 16, 10).cast("long")
-             % 2001 - 1000).cast("double") / 1000.0
-            for j in range(dim)
-        ]
+    for p, comps in enumerate(plane_components(dim, n_planes, seed)):
         proj = F.aggregate(
             F.zip_with(
                 vec,
-                F.array(*comps),
+                F.array(*[F.lit(c) for c in comps]),
                 lambda x, c: x.cast("double") * c,
             ),
             F.lit(0.0),
@@ -137,10 +154,18 @@ def cosine_pairs(
     )
 
 
-def signature_probes(sig: Column, n_planes: int) -> Column:
+def signature_probes(sig: Column, n_planes: int, radius: int = 1) -> Column:
     """Multi-probe set for one LSH signature: the bucket itself plus every
-    1-bit flip — pairs within hamming distance <= 1 become join candidates."""
-    return F.array(sig, *[sig.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)])
+    flip of up to ``radius`` bits — pairs within hamming distance <= radius
+    become join candidates (1 + k + C(k,2) probes at radius 2)."""
+    probes = [sig] + [sig.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+    if radius >= 2:
+        probes += [
+            sig.bitwiseXOR(F.lit((1 << p) | (1 << q)))
+            for p in range(n_planes)
+            for q in range(p + 1, n_planes)
+        ]
+    return F.array(*probes)
 
 
 #: Seed stride between OR-amplified signature tables (any odd constant works;
@@ -157,13 +182,15 @@ def cosine_pairs_lsh(
     vec_col: str = "embedding",
     seed: int = 42,
     n_tables: int = 1,
+    probe_bits: int = 1,
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: OR-amplified hyperplane-LSH bucket
     joins + exact cosine verify (no all-pairs cartesian).
 
     Per table, one side keeps its exact signature and the other explodes its
-    multi-probe set (signature + all 1-bit flips), so any pair within
-    hamming distance 1 of each other's buckets is a candidate; candidates
+    multi-probe set (signature + all flips of <= ``probe_bits`` bits), so
+    any pair within hamming distance ``probe_bits`` of each other's buckets
+    is a candidate; candidates
     from all ``n_tables`` independent tables (plane seeds ``seed +
     TABLE_SEED_STRIDE * t``) union, dedup on (a_id, b_id), and only then
     fetch vectors for the exact verify. The only shuffles are the signature
@@ -173,13 +200,17 @@ def cosine_pairs_lsh(
 
     Recall model (advisor round 2 — single-table hamming<=1 probing found
     only ~10% of cos>=0.35 pairs): a pair at cosine c agrees per plane with
-    p = 1 - arccos(c)/pi; one table finds it with P1 = p^k + k·p^(k-1)(1-p)
-    (k = n_planes), and L tables with 1-(1-P1)^L. Size L to the target
-    recall: at c=0.35, k=8 → P1≈0.12, so L=18 gives ~0.90 (measured 0.945
-    on the sf0.01 corpus, asserted as a sampled brute-force recall check in
-    tests/test_ops.py). Low thresholds are inherently expensive for
-    sign-random-projection LSH (p1/p0 gap shrinks toward 0.5): at c>=0.8,
-    P1≈0.49 and L=4 already reaches 0.93 with far fewer candidates."""
+    p = 1 - arccos(c)/pi; one table finds it with P1 = P[Binom(k, 1-p) <=
+    probe_bits] (k = n_planes), and L tables with 1-(1-P1)^L. Size (L,
+    probe_bits) to the target recall AND to plan size — the signature
+    expression holds L*k*dim plane constants, and Catalyst/codegen time
+    grows superlinearly in it (18 tables at radius 1 hit ~3 min of
+    planning; 6 tables at radius 2 deliver the same measured 0.945 recall
+    at cos>=0.35 on the sf0.01 corpus with a third of the expression —
+    asserted as a sampled brute-force recall check in tests/test_ops.py).
+    Low thresholds are inherently expensive for sign-random-projection LSH
+    (p1/p0 gap shrinks toward 0.5): at c>=0.8, P1(radius 1)≈0.49 and L=4
+    already reaches 0.93 with far fewer candidates."""
     sigs = [
         hyperplane_signature(
             F.col(vec_col), dim, n_planes, seed + TABLE_SEED_STRIDE * t
@@ -215,7 +246,9 @@ def cosine_pairs_lsh(
         F.explode(
             F.flatten(
                 F.array(*[
-                    F.transform(signature_probes(F.col(f"sig{t}"), n_planes), tag(t))
+                    F.transform(
+                        signature_probes(F.col(f"sig{t}"), n_planes, probe_bits), tag(t)
+                    )
                     for t in range(n_tables)
                 ])
             )

@@ -196,9 +196,10 @@ def test_cosine_pairs_lsh_verifies_exactly(spark):
 
 def test_cosine_pairs_lsh_amplified_recall(spark):
     # sampled brute-force recall check (advisor round 2): the OR-amplified
-    # 18-table config used by dedup_embedding_cosine must find >=85% of the
-    # true cos>=0.35 pairs on a 300-vector sample of the synthetic corpus
-    # (measured 0.945 on the full sf0.01 set; single-table was ~0.10)
+    # config used by dedup_embedding_cosine (6 tables, radius-2 probes) must
+    # find >=85% of the true cos>=0.35 pairs on a 300-vector sample of the
+    # synthetic corpus (measured 0.945 on the full sf0.01 set; single-table
+    # radius-1 was ~0.10)
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").where(
         "vec_id < 300"
     )
@@ -206,7 +207,7 @@ def test_cosine_pairs_lsh_amplified_recall(spark):
     lsh = {
         (r["a_id"], r["b_id"])
         for r in S.cosine_pairs_lsh(
-            emb, dim=64, threshold=0.35, n_planes=8, n_tables=18
+            emb, dim=64, threshold=0.35, n_planes=8, n_tables=6, probe_bits=2
         ).collect()
     }
     assert lsh <= truth  # exact verify: no false positives
