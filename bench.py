@@ -31,12 +31,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def build_spark(cpus: int):
     from pyspark.sql import SparkSession
 
+    # AQE re-plans every exchange at runtime — correct at 100 TB where stats
+    # surprise you, but a measurable per-batch serial cost on fixed-shape
+    # micro-batch plans; STCS_BENCH_AQE=0 lets the scaling harness measure
+    # without it.
+    aqe = os.environ.get("STCS_BENCH_AQE", "1") == "1"
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("stcs-bench")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.default.parallelism", str(max(cpus, 8)))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", str(aqe).lower())
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "48g")
