@@ -645,13 +645,22 @@ class SingerEngine:
 
         The expression reuses the shredder's own extraction + coercion
         (``_column_value`` over a pk-only ``from_json``), so the stats-time
-        bucket of a RECORD/DELETED_RECORD equals the bucket its shredded row
-        lands in. Streams whose meta isn't known yet (SCHEMA arriving in this
-        very batch, or recovery pending) are not covered — their merge falls
-        back to computing touched buckets itself. The probe ignores the
-        replay gate, so on a partially-replayed batch it can be a SUPERSET of
-        the post-gate buckets — always safe (extra buckets merge to identical
-        content), never a subset."""
+        bucket of a RECORD equals the bucket its shredded row lands in.
+        DELETED_RECORD payloads carry their keys FLAT (``{"<prop>": v}``,
+        parsed by ``_tombstones`` with a flat ``p.prop`` schema), which
+        differs from the record extraction exactly when a pk prop contains
+        the nested-object separator (``p.path`` longer than 1) — those
+        streams get a separate DELETED_RECORD branch using the identical
+        flat schema, so the probed bucket of a delete equals the bucket its
+        tombstone row lands in (advisor round 3: a nested-path probe on a
+        flat delete key extracts null and hints the wrong bucket, making
+        the hint a corrupting SUBSET). Streams whose meta isn't known yet
+        (SCHEMA arriving in this very batch, or recovery pending) are not
+        covered — their merge falls back to computing touched buckets
+        itself. The probe ignores the replay gate, so on a
+        partially-replayed batch it can be a SUPERSET of the post-gate
+        buckets — always safe (extra buckets merge to identical content),
+        never a subset."""
         branches = []
         translate = self.config.translate_values
         for stream, state in sorted(self.streams.items()):
@@ -687,7 +696,37 @@ class SingerEngine:
             parsed = F.from_json(F.col("record"), to_struct(tree))
             vals = [_column_value(parsed, p, translate) for p in pks]
             bucket = F.pmod(F.xxhash64(*vals), F.lit(snap.n_buckets)).cast("int")
-            branches.append((F.col("stream") == stream, bucket))
+            if any(len(p.path) > 1 for p in pks):
+                # flat-key delete probe, mirroring _tombstones byte-for-byte
+                flat_schema = T.StructType(
+                    [
+                        T.StructField(
+                            p.prop,
+                            T.StringType() if translate else (p.spark_type or T.StringType()),
+                        )
+                        for p in pks
+                    ]
+                )
+                fparsed = F.from_json(F.col("record"), flat_schema)
+                fvals = [
+                    _translate_scalar(fparsed.getField(p.prop), p)
+                    if translate
+                    else fparsed.getField(p.prop)
+                    for p in pks
+                ]
+                fbucket = F.pmod(F.xxhash64(*fvals), F.lit(snap.n_buckets)).cast("int")
+                branches.append(
+                    ((F.col("stream") == stream) & (F.col("type") == "RECORD"), bucket)
+                )
+                branches.append(
+                    (
+                        (F.col("stream") == stream)
+                        & (F.col("type") == "DELETED_RECORD"),
+                        fbucket,
+                    )
+                )
+            else:
+                branches.append((F.col("stream") == stream, bucket))
         if not branches:
             return F.lit(None).cast("int")
         expr = F.when(*branches[0])
