@@ -71,10 +71,12 @@ class Config:
     #: merge stats) to ``<lake>/_metrics/metrics.jsonl``.
     emit_lineage: bool = True
 
-    #: Hard cap on distinct cleaning-column values collected per batch. Every
-    #: new value triggers a full-table DELETE WHERE rewrite, so cardinality
-    #: beyond this is a misconfiguration — fail loudly instead of OOMing the
-    #: driver on the distinct collect.
+    #: Hard cap on distinct RAW TEXT cleaning-column values collected per
+    #: batch (falsy values count toward the cap; a text appearing as both
+    #: number and string counts once). Every new truthy value triggers a
+    #: full-table DELETE WHERE rewrite, so cardinality beyond this is a
+    #: misconfiguration — fail loudly instead of OOMing the driver on the
+    #: distinct collect.
     max_cleaning_values: int = 10_000
 
     #: Auto-GC: run ``catalog.vacuum`` on a table every N snapshot commits

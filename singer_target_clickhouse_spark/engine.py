@@ -465,13 +465,18 @@ class SingerEngine:
                     f"[{meta.prop}] could not resolve cleaning column meta "
                     f"(looking for {meta.cleaning_column})"
                 )
-            # (value, actual-JSON-type) pairs: schema_of_variant preserves the
+            # One row per distinct TEXT value, carrying the set of actual
+            # JSON token types it appeared as: schema_of_variant preserves the
             # string-vs-number distinction get_json_object erases, so JS
-            # falsiness is judged on the real token type. The distinct collect
-            # is hard-capped: a misconfigured high-cardinality cleaning column
-            # (every row a new value => every row a full-table wipe) must fail
-            # loudly, not OOM the driver (round-2 VERDICT #10; the reference
-            # holds the same set in memory and has the same hazard).
+            # falsiness is judged on the real token type — and a value is
+            # wipe-worthy if ANY of its appearances is truthy (the number 0 is
+            # falsy but the string "0" wipes). The collect is hard-capped on
+            # distinct raw text values (advisor round 3: counting (value,
+            # type) pairs double-counted a text appearing as both number and
+            # string): a misconfigured high-cardinality cleaning column
+            # (every row a new value => every row a full-table wipe) must
+            # fail loudly, not OOM the driver (round-2 VERDICT #10; the
+            # reference holds the same set in memory and has the same hazard).
             cap = self.config.max_cleaning_values
             path = f"$.{meta.cleaning_column}"
             probe = (
@@ -482,7 +487,8 @@ class SingerEngine:
                     ).alias("vt"),
                 )
                 .where(F.col("v").isNotNull())
-                .distinct()
+                .groupBy("v")
+                .agg(F.collect_set("vt").alias("vts"))
                 .limit(cap + 1)
                 .collect()
             )
@@ -494,7 +500,9 @@ class SingerEngine:
                     "misconfiguration (raise Config.max_cleaning_values to override)"
                 )
             vals = {
-                r["v"] for r in probe if not _is_falsy_cleaning_value(r["v"], r["vt"])
+                r["v"]
+                for r in probe
+                if any(not _is_falsy_cleaning_value(r["v"], vt) for vt in r["vts"])
             }
             new_vals = vals - state.cleaned_values
             if new_vals:

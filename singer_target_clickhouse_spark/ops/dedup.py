@@ -184,7 +184,14 @@ def minhash_lsh_pairs(
 
 def simhash64(text: Column) -> Column:
     """64-bit SimHash over tokens: per-bit majority vote of token hashes.
-    Pure array/bit expressions (shiftright + bitwise and)."""
+    Pure array/bit expressions (shiftright + bitwise and).
+
+    NOTE: as a lone Column expression the token-hash array has no projection
+    boundary, so Catalyst materializes it once PER BIT VOTE (48 tokenize+md5
+    passes over the document). Plan-correct pipelines use ``simhash_profile``
+    (two-projection staging, one md5 pass) — this form is kept for ad-hoc
+    single-column use and as the semantics reference (same trade-off as
+    ``minhash_signature``)."""
     toks = tokens(text)
     hashes = F.transform(toks, lambda t: _hash64(t))
 
@@ -225,8 +232,12 @@ def _simhash_from_hashes(hashes: Column, bits: int = 48) -> Column:
 
 
 def simhash_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Docs sharing an identical simhash (strong near-dup signal)."""
-    s = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    """Docs sharing an identical simhash (strong near-dup signal). Goes
+    through the staged ``simhash_profile`` so each side of the self-join
+    tokenizes+hashes every document exactly once."""
+    s = simhash_profile(df, text_col=text_col, id_col=id_col).select(
+        F.col(id_col).alias("id"), F.col("simhash").alias("sh")
+    )
     return (
         s.alias("a")
         .join(s.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))

@@ -565,3 +565,58 @@ def test_bucket_hint_flat_delete_keys_for_nested_path_pk(spark, lake, monkeypatc
     e.apply_lines(_mk_lines(spark, dels, 100))
     ids = sorted(r[0] for r in e.catalog.read("np").select("a__b").collect())
     assert ids == [i for i in range(8) if i != victim]
+
+
+def test_mid_batch_second_schema_matches_sequential(spark, lake, tmp_path):
+    # round-3 VERDICT #3: records straddling a second (evolving) SCHEMA inside
+    # ONE micro-batch. The reference processes lines sequentially and IGNORES
+    # a SCHEMA for an already-registered stream within a run
+    # (processStream.ts:80-84 warn-and-skip); the engine applies control
+    # before records but takes the same ignore path, so one-batch and
+    # two-batch application must converge to the identical final state, with
+    # all records (before AND after SCHEMA2) shredded under SCHEMA1's meta.
+    def s(props, seq_unused=None):
+        return json.dumps({
+            "type": "SCHEMA", "stream": "ev",
+            "schema": {"type": "object", "properties": props},
+            "key_properties": ["id"]})
+
+    props1 = {"id": {"type": "integer"},
+              "kept": {"type": ["null", "string"]},
+              "narrow": {"type": ["null", "integer"]}}
+    # SCHEMA2 adds a column, widens narrow -> number, drops kept
+    props2 = {"id": {"type": "integer"},
+              "added": {"type": ["null", "string"]},
+              "narrow": {"type": ["null", "number"]}}
+    r1 = [json.dumps({"type": "RECORD", "stream": "ev",
+                      "record": {"id": i, "kept": f"k{i}", "narrow": i}}) for i in range(3)]
+    # post-SCHEMA2 records carry the NEW shape; under meta1 "added" is
+    # unknown (dropped) and "kept" is absent (nulls)
+    r2 = [json.dumps({"type": "RECORD", "stream": "ev",
+                      "record": {"id": 10 + i, "added": "x", "narrow": 10 + i}}) for i in range(3)]
+
+    lines = [s(props1)] + r1 + [s(props2)] + r2
+
+    e_one = engine(spark, str(tmp_path / "one"))
+    e_one.apply_lines(_mk_lines(spark, lines, 0))
+    e_one.finalize()
+
+    e_two = engine(spark, str(tmp_path / "two"))
+    e_two.apply_lines(_mk_lines(spark, [s(props1)] + r1, 0))
+    e_two.apply_lines(_mk_lines(spark, [s(props2)] + r2, len(r1) + 1))
+    e_two.finalize()
+
+    h1, h2 = table_hash(e_one, "ev"), table_hash(e_two, "ev")
+    assert h1 == h2
+    # SCHEMA2 was ignored in-run: the physical schema is still SCHEMA1's
+    cols = {c["name"] for c in e_one.catalog.snapshot("ev").ch_columns}
+    assert cols == {"id", "kept", "narrow", "_ver"}
+    got = rows(e_one, "ev", "id", "kept")
+    assert got == [(0, "k0"), (1, "k1"), (2, "k2"),
+                   (10, None), (11, None), (12, None)]
+    # a NEW run re-receiving SCHEMA2 evolves the table (add/widen/drop), the
+    # already-tested cross-run path — state after equals the reference's ALTER
+    e_next = engine(spark, str(tmp_path / "one"))
+    e_next.apply_lines(_mk_lines(spark, [s(props2)], 100))
+    cols = {c["name"] for c in e_next.catalog.snapshot("ev").ch_columns}
+    assert cols == {"id", "added", "narrow", "_ver"}

@@ -143,3 +143,39 @@ def test_iceberg_sql_goldens_misc():
     assert widen_column_sql("c.`d`.`t`", "id", T.DecimalType(38, 0)) == (
         "ALTER TABLE c.`d`.`t` ALTER COLUMN `id` TYPE decimal(38,0)"
     )
+
+
+def test_create_table_sql_multi_column_bucket_and_properties():
+    # round-3 VERDICT #8: the two statement shapes not yet asserted — a
+    # multi-column bucket transform (compound pk, the repo_files shape) and
+    # extra TBLPROPERTIES round-tripping through the literal map.
+    from pyspark.sql import types as T
+
+    from singer_target_clickhouse_spark.lake.iceberg import create_table_sql
+
+    schema = T.StructType([
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("_ver", T.LongType()),
+    ])
+    got = create_table_sql(
+        "c.`d`.`repo_files`", schema,
+        pk=["repo", "path"], bucket_by=["repo", "path"], n_buckets=64,
+        properties={"write.format.default": "parquet",
+                    "stcs.order_by": "repo,path"},
+    )
+    assert got == (
+        "CREATE TABLE c.`d`.`repo_files` "
+        "(`repo` string, `path` string, `lang` string, `_ver` bigint) "
+        "USING iceberg PARTITIONED BY (bucket(64, `repo`, `path`)) "
+        "TBLPROPERTIES ('stcs.pk'='repo,path', "
+        "'write.format.default'='parquet', 'stcs.order_by'='repo,path')"
+    )
+    # unbucketed append-only table: no PARTITIONED BY clause at all
+    got = create_table_sql("c.`d`.`log`", schema, pk=[], bucket_by=[], n_buckets=0)
+    assert got == (
+        "CREATE TABLE c.`d`.`log` "
+        "(`repo` string, `path` string, `lang` string, `_ver` bigint) "
+        "USING iceberg  TBLPROPERTIES ('stcs.pk'='')"
+    )

@@ -281,3 +281,50 @@ def test_multimodal_real_decode_is_stubbed(spark):
     )
     with pytest.raises(Exception, match="codec"):
         decode_features(df, fake_decode=False).collect()
+
+
+def _jpeg_bytes(w, h):
+    import struct
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = b"\x08" + struct.pack(">HH", h, w) + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    return (b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+            + b"\xff\xc0" + struct.pack(">H", 2 + len(sof0)) + sof0
+            + b"\xff\xd9")
+
+
+def test_multimodal_real_jpeg_decode(spark):
+    # JPEG dimensions via stdlib SOF marker walk (round-3 VERDICT #4): no
+    # codec needed for width/height; a progressive SOF2 parses identically.
+    df = spark.createDataFrame(
+        [(7, "image", "image/jpeg", bytearray(_jpeg_bytes(1280, 720)), {})],
+        schema="asset_id long, kind string, mime string, payload binary, meta map<string,string>",
+    )
+    r = decode_features(df, fake_decode=False).collect()[0]
+    assert (r["width"], r["height"]) == (1280, 720)
+    # SOF2 (progressive) takes the same branch
+    from singer_target_clickhouse_spark.ops.multimodal import _parse_jpeg_header
+    prog = _jpeg_bytes(64, 32).replace(b"\xff\xc0", b"\xff\xc2")
+    assert _parse_jpeg_header(prog) == (64, 32)
+    # DHT (0xC4) shares the 0xCn space but is NOT a frame header: with the
+    # SOF0 marker rewritten to DHT there is no frame header left, and the
+    # walk must skip it (not misread table bytes as dimensions) and hit EOI
+    dht_first = _jpeg_bytes(64, 32).replace(b"\xff\xc0", b"\xff\xc4", 1)
+    assert _parse_jpeg_header(dht_first) is None
+
+
+def test_wav_header_hardened():
+    # advisor round 3: truncated data chunk must clamp to actual payload;
+    # short fmt chunk must not read the next chunk's bytes as byte_rate
+    import struct
+    from singer_target_clickhouse_spark.ops.multimodal import _parse_wav_header
+    full = _wav_bytes(32000, 64000)
+    assert _parse_wav_header(full) == 2000
+    truncated = full[: len(full) - 32000]  # half the data chunk missing
+    assert _parse_wav_header(truncated) == 1000  # clamped, not declared 2000
+    # fmt chunk declaring only 8 body bytes: byte_rate field absent
+    fmt = struct.pack("<HHI", 1, 1, 16000)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    short_fmt = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert _parse_wav_header(short_fmt) is None

@@ -108,8 +108,13 @@ def run_once(sf_dir: str, cpus: int, tag: str = "run") -> dict:
         # identical bytes (same files, same layout — the fairest "same
         # input" the rule asks for) and generation time drops out of the
         # campaign wall-clock for all but the first run
+        # cache key carries EVERY generation parameter (advisor round 3: a
+        # campaign varying content_len with the same events/nfiles must not
+        # replay a stale corpus)
         env["STCS_BENCH_LOG_DIR"] = os.path.join(
-            TMPFS_DIR, f"shared_log_{env['STCS_BENCH_EVENTS']}_{env['STCS_BENCH_NFILES']}"
+            TMPFS_DIR,
+            f"shared_log_{env['STCS_BENCH_EVENTS']}_{env['STCS_BENCH_NFILES']}"
+            f"_{env['STCS_BENCH_CONTENT_LEN']}",
         )
     load = wait_for_idle()  # probe seconds, not loadavg
     try:
