@@ -92,6 +92,10 @@ def bench_cdc_replay(spark, sf_dir: str, n_files: int = None, files_per_trigger:
     steady = sorted(bt[1:] or bt)
     median = steady[len(steady) // 2]
     per_batch = (n + 1) / max(len(bt), 1)
+    phases = [
+        {k: round(v, 2) for k, v in ph.items() if v >= 0.01}
+        for ph in driver.batch_phase_log
+    ]
     return elapsed, {
         "events": n + 1,
         "events_per_sec": round((n + 1) / elapsed, 1),
@@ -100,6 +104,9 @@ def bench_cdc_replay(spark, sf_dir: str, n_files: int = None, files_per_trigger:
         # median post-warmup batch
         "median_batch_events_per_sec": round(per_batch / median, 1),
         "batch_times": [round(b, 2) for b in bt],
+        # per-batch serial-window attribution (engine phase clocks +
+        # streaming trigger gap) — the scaling campaign's decomposition input
+        "batch_phases": phases,
         "final_rows": rows,
     }
 

@@ -67,6 +67,13 @@ class Config:
     #: independent Spark jobs).
     finalize_concurrency: int = 3
 
+    #: How many streams' merges run concurrently WITHIN a batch (driver-side
+    #: thread pool, the finalize pattern): per-stream merges touch disjoint
+    #: tables and share only the read-only parse cache, so a multi-stream tap
+    #: (the reference's stream_1 shape is 21 tables) keeps the cluster busy
+    #: instead of idling between per-stream driver barriers. 1 = serial.
+    merge_concurrency: int = 4
+
     #: Emit per-batch per-table lineage records (source offset range, rows,
     #: merge stats) to ``<lake>/_metrics/metrics.jsonl``.
     emit_lineage: bool = True

@@ -128,7 +128,23 @@ class LakeCatalog:
     def __init__(self, root: str, spark: SparkSession):
         self.root = root
         self.spark = spark
+        #: optional dict[str, float] the engine points at its per-batch phase
+        #: accumulator; when set, write/commit walls are attributed into it
+        #: (scaling-evidence instrumentation, zero overhead when unset)
+        self.phase_sink: Optional[dict] = None
         os.makedirs(self._tables_dir, exist_ok=True)
+
+    def _note(self, phase: str, t0: float) -> None:
+        sink = self.phase_sink
+        if sink is not None:
+            import time
+
+            dt = time.perf_counter() - t0
+            add = getattr(sink, "add", None)
+            if add is not None:  # engine's thread-safe accumulator
+                add(phase, dt)
+            else:
+                sink[phase] = sink.get(phase, 0.0) + dt
 
     # ------------------------------------------------------------------ paths
     @property
@@ -196,6 +212,13 @@ class LakeCatalog:
 
     def _commit(self, name: str, snap: TableSnapshot) -> None:
         """Atomically publish a snapshot: manifest first, then pointer flip."""
+        import time
+
+        t0 = time.perf_counter()
+        self._commit_inner(name, snap)
+        self._note("commit_flip", t0)
+
+    def _commit_inner(self, name: str, snap: TableSnapshot) -> None:
         tdir = self._table_dir(name)
         manifest = f"snap-{snap.snapshot_id:06d}.json"
         with open(os.path.join(tdir, manifest), "w") as fh:
@@ -277,7 +300,12 @@ class LakeCatalog:
             # (tasks × buckets small files); with it, each bucket is written
             # by one task.
             bucketed = bucketed.repartition(F.col("_bucket"))
+        import time
+
+        t0 = time.perf_counter()
         bucketed.write.partitionBy("_bucket").parquet(out_dir, mode="overwrite")
+        self._note("write_job", t0)
+        t0 = time.perf_counter()
         written: dict[str, list[str]] = {}
         for entry in os.listdir(out_dir):
             if not entry.startswith("_bucket="):
@@ -290,6 +318,7 @@ class LakeCatalog:
             ]
             if files:
                 written[b] = files
+        self._note("write_listdir", t0)
         return written
 
     def touched_buckets(self, df: DataFrame, snap: TableSnapshot) -> list[int]:

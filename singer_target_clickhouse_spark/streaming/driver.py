@@ -57,6 +57,12 @@ class StreamingDriver:
         self.engine = SingerEngine(spark, config, run_id=self._pinned_run_id())
         #: wall seconds per processed micro-batch (bench / scaling evidence)
         self.batch_times: list[float] = []
+        #: per-batch phase attribution: the engine's serial-window phases
+        #: plus the streaming trigger overhead between batches
+        #: (``trigger_gap`` = wall between previous batch end and this batch
+        #: entering foreachBatch: source listing, offset/commit WAL writes)
+        self.batch_phase_log: list[dict[str, float]] = []
+        self._last_batch_end: float = 0.0
 
     # ------------------------------------------------------------- run-id pin
     def _pinned_run_id(self) -> str:
@@ -95,10 +101,22 @@ class StreamingDriver:
         import time as _time
 
         t0 = _time.time()
+        n_phases = len(self.engine.batch_phases)
         try:
             self._apply_batch_inner(batch, batch_id)
         finally:
-            self.batch_times.append(_time.time() - t0)
+            end = _time.time()
+            self.batch_times.append(end - t0)
+            ph = (
+                dict(self.engine.batch_phases[-1])
+                if len(self.engine.batch_phases) > n_phases
+                else {}
+            )
+            ph["batch_total"] = end - t0
+            if self._last_batch_end:
+                ph["trigger_gap"] = t0 - self._last_batch_end
+            self._last_batch_end = end
+            self.batch_phase_log.append(ph)
 
     def _apply_batch_inner(self, batch: DataFrame, batch_id: int) -> None:
         if self.offsets_in_log:

@@ -620,3 +620,74 @@ def test_mid_batch_second_schema_matches_sequential(spark, lake, tmp_path):
     e_next.apply_lines(_mk_lines(spark, [s(props2)], 100))
     cols = {c["name"] for c in e_next.catalog.snapshot("ev").ch_columns}
     assert cols == {"id", "added", "narrow", "_ver"}
+
+
+def test_multi_stream_batch_merges_concurrently(spark, lake, tmp_path):
+    # round-3 VERDICT #2: per-stream merges within one batch submit from a
+    # bounded thread pool (the finalize pattern). Parity: concurrent and
+    # serial application converge to identical content; evidence: the
+    # lineage metrics record >=2 distinct pool threads for the 3-stream
+    # batch, and replay convergence still holds.
+    def mk(stream, n, base):
+        schema = json.dumps({
+            "type": "SCHEMA", "stream": stream,
+            "schema": {"type": "object", "properties": {
+                "id": {"type": "integer"}, "v": {"type": ["null", "string"]}}},
+            "key_properties": ["id"]})
+        recs = [json.dumps({"type": "RECORD", "stream": stream,
+                            "record": {"id": i, "v": f"{stream}{i}"}}) for i in range(n)]
+        return [schema] + recs
+
+    lines = mk("s1", 40, 0) + mk("s2", 40, 0) + mk("s3", 40, 0)
+
+    e_par = engine(spark, str(tmp_path / "par"), merge_concurrency=3)
+    e_par.apply_lines(_mk_lines(spark, lines, 0))
+    e_par.finalize()
+    e_ser = engine(spark, str(tmp_path / "ser"), merge_concurrency=1)
+    e_ser.apply_lines(_mk_lines(spark, lines, 0))
+    e_ser.finalize()
+
+    for t in ("s1", "s2", "s3"):
+        assert table_hash(e_par, t) == table_hash(e_ser, t)
+
+    threads = {r["thread"] for r in e_par.read_metrics().collect()}
+    assert len(threads) >= 2, f"expected overlapping pool threads, got {threads}"
+
+    # replay of the same batch is a no-op under concurrency too
+    h_before = [table_hash(e_par, t) for t in ("s1", "s2", "s3")]
+    e_par.apply_lines(_mk_lines(spark, lines, 0))
+    assert [table_hash(e_par, t) for t in ("s1", "s2", "s3")] == h_before
+
+
+def test_orphan_delete_finalize_only_mode_parity(spark, lake, tmp_path):
+    # round-3 VERDICT #7: orphan_delete_per_batch=False defers the child
+    # orphan delete to finalize(); final content must equal the per-batch
+    # default across a multi-batch child-bearing replay with re-keyed rows.
+    schema = json.dumps({
+        "type": "SCHEMA", "stream": "po", "schema": {"type": "object", "properties": {
+            "id": {"type": "integer"},
+            "tags": {"type": "array", "items": {"type": "object", "properties": {
+                "t": {"type": ["null", "string"]}}}}}},
+        "key_properties": ["id"]})
+
+    def batch(ver):
+        return [json.dumps({"type": "RECORD", "stream": "po",
+                            "record": {"id": i, "tags": [{"t": f"v{ver}a{i}"}, {"t": f"v{ver}b{i}"}]}})
+                for i in range(6)]
+
+    hashes = {}
+    for mode in (True, False):
+        root = str(tmp_path / f"m{mode}")
+        e = engine(spark, root, orphan_delete_per_batch=mode)
+        e.apply_lines(_mk_lines(spark, [schema] + batch(1), 0))
+        e.apply_lines(_mk_lines(spark, batch(2), 100))
+        e.finalize()
+        hashes[mode] = (table_hash(e, "po"), table_hash(e, "po__tags"))
+        # superseded root versions must leave no child orphans either way
+        child = e.catalog.read("po__tags")
+        root_df = e.catalog.read("po")
+        orphans = child.join(
+            root_df.selectExpr("id as _root_id", "_ver as _root_ver"),
+            ["_root_id", "_root_ver"], "left_anti").count()
+        assert orphans == 0
+    assert hashes[True] == hashes[False]
