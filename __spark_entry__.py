@@ -221,6 +221,15 @@ def _dedup_minhash_lsh(spark, sf):
     return D.minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.875)
 
 
+def _dedup_clusters(spark, sf):
+    """Connected-component cluster ids over the MinHash-LSH near-dup graph
+    (min-label propagation to fixpoint): the keep-one-representative step of
+    a corpus dedup pipeline. The iteration count is data-dependent (graph
+    diameter) but every round is one shuffle-keyed join + aggregate — the
+    driver only sees a 1-row convergence checksum per round."""
+    return D.dedup_clusters(_t(spark, sf, "documents"), threshold=0.875)
+
+
 def _dedup_token_jaccard(spark, sf):
     """Exact Jaccard verified on MinHash-LSH candidates only (linear in
     candidate count — the 100 TB composition; the all-pairs exploded-token
@@ -329,6 +338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_wordcount_top": _text_wordcount_top,
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_clusters": _dedup_clusters,
         "dedup_token_jaccard": _dedup_token_jaccard,
         "dedup_simhash": _dedup_simhash,
         "ann_cosine_topk": _ann_cosine_topk,
@@ -583,6 +593,25 @@ def oracle_sql() -> dict[str, str]:
                        as est_jaccard
             from sig a join sig b on a.doc_id < b.doc_id
             where ({' + '.join(f'(a.sig[{i+1}] = b.sig[{i+1}])::int' for i in range(16))}) >= 14
+        """,
+        # connected components over the same near-dup pair graph: the oracle
+        # computes the transitive closure with a recursive CTE and takes the
+        # min reachable id — the unique fixpoint min-label propagation
+        # converges to, independent of algorithm
+        "dedup_clusters": f"""
+            with recursive
+              sig as ({_minhash_sig_sql()}),
+              prs as (
+                select a.doc_id as a_id, b.doc_id as b_id
+                from sig a join sig b on a.doc_id < b.doc_id
+                where ({' + '.join(f'(a.sig[{i+1}] = b.sig[{i+1}])::int' for i in range(16))}) >= 14),
+              edges as (select a_id as src, b_id as dst from prs
+                        union select b_id, a_id from prs),
+              reach(id, lbl) as (
+                select doc_id, doc_id from documents
+                union
+                select e.src, r.lbl from edges e join reach r on e.dst = r.id)
+            select id as doc_id, min(lbl) as cluster_id from reach group by id
         """,
         # exact Jaccard on MinHash-LSH candidates: est >= 0.8125 (13/16
         # slots) pigeonhole-implies >= 1 intact band of 4 (<= 3 misses over

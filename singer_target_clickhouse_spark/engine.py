@@ -75,6 +75,10 @@ class RecordBeforeSchemaError(RuntimeError):
     pass
 
 
+#: sentinel distinguishing "not cached yet" from a cached None (not probeable)
+_PROBE_UNCACHED = object()
+
+
 class _PhaseAcc(dict):
     """Thread-safe phase -> seconds accumulator (per-stream merges run from a
     thread pool; a bare dict += would lose updates)."""
@@ -210,6 +214,13 @@ class SingerEngine:
         self.batch_phases: list[dict[str, float]] = []
         self._ph = _PhaseAcc()
         self.catalog.phase_sink = self._ph
+        #: per-stream probe branches cached across batches (Column exprs are
+        #: immutable): building one reads the table snapshot and constructs
+        #: the pk from_json + coercion tree, which at 21 streams cost ~3 s of
+        #: driver wall PER BATCH when rebuilt each time. Invalidated whenever
+        #: a stream's meta or physical table can change (_process_schema_
+        #: message, retirement).
+        self._probe_cache: dict[str, Optional[list]] = {}
 
     @contextmanager
     def _phase(self, name: str):
@@ -363,6 +374,9 @@ class SingerEngine:
         if stream in self.streams:
             log.warning("A schema has already been received for stream [%s]. Ignoring message", stream)
             return
+        # meta / physical table may change below: rebuild this stream's
+        # cached probe branches on next use
+        self._probe_cache.pop(stream, None)
         self._persist_stream_schema(msg)
         meta = build_meta(
             stream,
@@ -385,6 +399,7 @@ class SingerEngine:
 
     def _retire_inactive(self, active_streams: list[str]) -> None:
         """Reference E7 (processStream.ts:45-66)."""
+        self._probe_cache.clear()  # renames can retire probed tables
         sep = self.config.subtable_separator
         keep = list(active_streams) + list(self.config.extra_active_tables)
         for table in self.catalog.list_tables():
@@ -716,75 +731,86 @@ class SingerEngine:
         branches = []
         translate = self.config.translate_values
         for stream, state in sorted(self.streams.items()):
-            meta = state.meta
-            if not meta.has_replacing_semantics:
+            cached = self._probe_cache.get(stream, _PROBE_UNCACHED)
+            if cached is not _PROBE_UNCACHED:
+                if cached is not None:
+                    branches.extend(cached)
                 continue
-            if not self.catalog.table_exists(meta.table_name):
-                continue
-            snap = self.catalog.snapshot(meta.table_name)
-            pks = meta.pks_of(PKType.CURRENT)
-            if not snap.bucket_by or snap.bucket_by != [p.name for p in pks]:
-                continue
-
-            tree: dict = {}
-            for p in pks:
-                node = tree
-                for part in p.path[:-1]:
-                    node = node.setdefault(part, {})
-                node[p.path[-1]] = (
-                    T.StringType() if translate else (p.spark_type or T.StringType())
-                )
-
-            def to_struct(node: dict) -> T.StructType:
-                return T.StructType(
-                    [
-                        T.StructField(
-                            k, to_struct(v) if isinstance(v, dict) else v, True
-                        )
-                        for k, v in node.items()
-                    ]
-                )
-
-            parsed = F.from_json(F.col("record"), to_struct(tree))
-            vals = [_column_value(parsed, p, translate) for p in pks]
-            bucket = F.pmod(F.xxhash64(*vals), F.lit(snap.n_buckets)).cast("int")
-            if any(len(p.path) > 1 for p in pks):
-                # flat-key delete probe, mirroring _tombstones byte-for-byte
-                flat_schema = T.StructType(
-                    [
-                        T.StructField(
-                            p.prop,
-                            T.StringType() if translate else (p.spark_type or T.StringType()),
-                        )
-                        for p in pks
-                    ]
-                )
-                fparsed = F.from_json(F.col("record"), flat_schema)
-                fvals = [
-                    _translate_scalar(fparsed.getField(p.prop), p)
-                    if translate
-                    else fparsed.getField(p.prop)
-                    for p in pks
-                ]
-                fbucket = F.pmod(F.xxhash64(*fvals), F.lit(snap.n_buckets)).cast("int")
-                branches.append(
-                    ((F.col("stream") == stream) & (F.col("type") == "RECORD"), bucket)
-                )
-                branches.append(
-                    (
-                        (F.col("stream") == stream)
-                        & (F.col("type") == "DELETED_RECORD"),
-                        fbucket,
-                    )
-                )
-            else:
-                branches.append((F.col("stream") == stream, bucket))
+            built = self._build_probe_branches(stream, state, translate)
+            self._probe_cache[stream] = built
+            if built is not None:
+                branches.extend(built)
         if not branches:
             return F.lit(None).cast("int")
         expr = F.when(*branches[0])
         for cond, b in branches[1:]:
             expr = expr.when(cond, b)
         return expr.otherwise(F.lit(None).cast("int"))
+
+    def _build_probe_branches(self, stream, state, translate):
+        """Probe branches for one stream, or None when the stream can't be
+        probed (no replacing semantics / table missing / bucketing diverged)
+        — None is cached too, so the not-probeable check doesn't re-read the
+        snapshot every batch."""
+        meta = state.meta
+        if not meta.has_replacing_semantics:
+            return None
+        if not self.catalog.table_exists(meta.table_name):
+            return None
+        snap = self.catalog.snapshot(meta.table_name)
+        pks = meta.pks_of(PKType.CURRENT)
+        if not snap.bucket_by or snap.bucket_by != [p.name for p in pks]:
+            return None
+
+        tree: dict = {}
+        for p in pks:
+            node = tree
+            for part in p.path[:-1]:
+                node = node.setdefault(part, {})
+            node[p.path[-1]] = (
+                T.StringType() if translate else (p.spark_type or T.StringType())
+            )
+
+        def to_struct(node: dict) -> T.StructType:
+            return T.StructType(
+                [
+                    T.StructField(
+                        k, to_struct(v) if isinstance(v, dict) else v, True
+                    )
+                    for k, v in node.items()
+                ]
+            )
+
+        parsed = F.from_json(F.col("record"), to_struct(tree))
+        vals = [_column_value(parsed, p, translate) for p in pks]
+        bucket = F.pmod(F.xxhash64(*vals), F.lit(snap.n_buckets)).cast("int")
+        if any(len(p.path) > 1 for p in pks):
+            # flat-key delete probe, mirroring _tombstones byte-for-byte
+            flat_schema = T.StructType(
+                [
+                    T.StructField(
+                        p.prop,
+                        T.StringType() if translate else (p.spark_type or T.StringType()),
+                    )
+                    for p in pks
+                ]
+            )
+            fparsed = F.from_json(F.col("record"), flat_schema)
+            fvals = [
+                _translate_scalar(fparsed.getField(p.prop), p)
+                if translate
+                else fparsed.getField(p.prop)
+                for p in pks
+            ]
+            fbucket = F.pmod(F.xxhash64(*fvals), F.lit(snap.n_buckets)).cast("int")
+            return [
+                ((F.col("stream") == stream) & (F.col("type") == "RECORD"), bucket),
+                (
+                    (F.col("stream") == stream) & (F.col("type") == "DELETED_RECORD"),
+                    fbucket,
+                ),
+            ]
+        return [(F.col("stream") == stream, bucket)]
 
     # ------------------------------------------------------------ batch entry
     def apply_lines(self, lines: DataFrame) -> None:

@@ -302,3 +302,87 @@ def token_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
     )
+
+
+# ----------------------------------------------------- duplicate clustering
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: Optional[DataFrame] = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+    threshold: float = 0.875,
+) -> DataFrame:
+    """Connected-component cluster assignment over the near-dup pair graph —
+    the step between pair generation and keep-one-representative dedup:
+    every document gets ``cluster_id`` = the minimum ``doc_id`` reachable
+    through near-dup pairs (its own id when it has no duplicates). Keeping
+    ``doc_id == cluster_id`` rows is then the canonical corpus.
+
+    Min-label propagation: iterate ``label(x) = min(label(x),
+    min(label(neighbors)))`` to fixpoint. Each round is one join + one
+    hash aggregate (shuffles keyed by doc id, uniform); rounds needed =
+    graph diameter, and near-dup components are dense/star-like (a clique of
+    k duplicates converges in 1 round), so real corpora finish in 2-4
+    rounds — the alternating large-star/small-star trick exists for
+    pathological chain graphs but is not needed here. Convergence is
+    detected driver-side from ``sum(label)``, which strictly decreases until
+    the fixpoint (labels only ever decrease) — one O(1)-row collect per
+    round, no row data on the driver. Deterministic: the fixpoint is unique
+    regardless of iteration order.
+
+    ``pairs`` defaults to ``minhash_lsh_pairs(df, threshold=threshold)``;
+    pass any (a_id, b_id) frame (exact, simhash, embedding) to cluster a
+    different dup relation. Returns (doc_id, cluster_id).
+
+    Each round ``localCheckpoint``s the label frame: iterative plans MUST
+    truncate lineage — without it the logical plan nests one join per round
+    and Catalyst work (even plan stringification) grows until the driver
+    OOMs. On a production cluster prefer ``spark.sparkContext.
+    setCheckpointDir`` + ``.checkpoint()`` for executor-loss resilience;
+    the local variant keeps this sandbox dependency-free. Superseded
+    checkpoint blocks are freed by Spark's ContextCleaner as the old frames
+    go out of scope (bounded by max_iter small (id,label) frames).
+    """
+    if pairs is None:
+        pairs = minhash_lsh_pairs(df, text_col=text_col, id_col=id_col, threshold=threshold)
+    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(id_col).cast("long").alias("label")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(labels, edges["dst"] == labels["id"])
+                .groupBy("src")
+                .agg(F.min("label").alias("nlabel"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+                .select(
+                    labels["id"],
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                    ).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+            labels = new_labels
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+        return labels.select(
+            F.col("id").alias(id_col), F.col("label").alias("cluster_id")
+        )
+    finally:
+        edges.unpersist()

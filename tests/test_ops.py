@@ -328,3 +328,28 @@ def test_wav_header_hardened():
             + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
     short_fmt = b"RIFF" + struct.pack("<I", len(body)) + body
     assert _parse_wav_header(short_fmt) is None
+
+
+def test_dedup_clusters_chain_and_isolated(spark):
+    # A 4-chain (diameter 3 — forces multiple propagation rounds), a clique
+    # pair, and an isolated doc. cluster_id = min doc_id of the component.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "a_id long, b_id long")
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 10, 11, 99)], "doc_id long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in D.dedup_clusters(docs, pairs=pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_dedup_clusters_labels_converge_not_iter_capped(spark):
+    # convergence is by fixpoint (sum of labels stops decreasing), not by
+    # exhausting max_iter: a long chain with max_iter too small must NOT
+    # silently return un-converged labels for small graphs where diameter
+    # exceeds 1 — verify the default budget covers a 9-chain
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "a_id long, b_id long")
+    docs = spark.createDataFrame([(i,) for i in range(1, 10)], "doc_id long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in D.dedup_clusters(docs, pairs=pairs).collect()}
+    assert got == {i: 1 for i in range(1, 10)}

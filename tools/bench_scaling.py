@@ -1,33 +1,36 @@
 """Two-parallelism scaling evidence for the north rule.
 
 Runs the flagship CDC replay (via bench.py, STCS_BENCH_ONLY=cdc_replay) at
-local[N] and local[4N] in separate subprocesses (one JVM each) on identical
-input, and writes BENCH/BASELINE.md with both throughputs and the scaling
-efficiency ``(eps_4N / eps_N) / 4``.
+N and 4N cores in separate subprocesses (one JVM each, **whole-JVM
+``taskset`` pinned**) on identical input, and writes BENCH/BASELINE.md with
+both throughputs and the scaling efficiency ``(eps_4N / eps_N) / 4``.
 
 Measurement protocol (hard-earned on this sandbox — see BENCH/BASELINE.md):
 
-- **N=4 vs 4N=16 by default.** The VM advertises 32 vCPUs but sustained
-  CPU throughput saturates at ~16 cores' worth (raw multiprocessing sha256:
-  4->16 procs scales 3.8x/0.95 eff; 16->32 only 1.3x). 8->32 would measure
-  the host's oversubscription, not the engine; 4->16 stays inside the
-  physically-backed range. A real 1000-executor cluster is the N..4N regime
-  the rule actually targets.
-- **tmpfs for log/lake/checkpoint/shuffle** (STCS_BENCH_TMPFS=1, default on):
-  /dev/vda exhibits multi-second write stalls that dwarf per-batch compute;
-  the rule measures executor scaling, not one virtio disk's queue.
-- **Capacity gate, not loadavg**: each run starts only when a timed
-  8-process sha256 probe confirms the host is actually delivering parallel
-  CPU (loadavg here is phantom in both directions — see ``cpu_probe``);
-  the probe repeats at run end so wave-hit runs are identifiable. Levels
-  are interleaved so residual noise hits both equally.
-- **Many files per micro-batch** (NFILES/FPT): the scan+parse+partial-agg
-  stage parallelizes per input split; 32 files per trigger gives every level
-  full task fan-out (4 cores: 8 waves, 16 cores: 2 waves).
-- **Median post-warmup batch** throughput per run; best of ``repeats`` runs
-  per level (first batch carries JIT/codegen warmup, excluded).
+- **Whole-JVM pinning (round-3 finding).** Unpinned ``local[N]`` caps task
+  slots only; GC/netty/parquet/codegen threads schedule across all 32 vCPUs,
+  and a clean host measures local[4] == local[16]. ``taskset -c 0-(N-1)`` is
+  the honest N-core emulation — and pinned runs are also FASTER than
+  unpinned at the same N (no GC-thread bouncing).
+- **N=4 vs 4N=16 by default.** The VM advertises 32 vCPUs but sustains ~16
+  cores of parallel compute; 8->32 would measure host oversubscription.
+- **tmpfs for log/lake/checkpoint/shuffle** (STCS_BENCH_TMPFS=1, default
+  on): /dev/vda exhibits multi-second write stalls that dwarf per-batch
+  compute.
+- **Capacity gate + in-run wave monitor**: each run starts only when a
+  timed 8-process sha256 probe confirms the host delivers parallel CPU
+  (loadavg here is phantom in both directions), and DURING the run a
+  monitor thread keeps probing on the cores OUTSIDE the pinned set — each
+  batch is then marked wave-hit or clean by overlapping probe timestamps,
+  so degraded batches are excluded by data, not judgment (round-3 VERDICT
+  #6).
+- **>=5 warm batches per level** (default 7 micro-batches, first 2 dropped
+  as JIT + first-touch-heap warmup at both levels), median of clean warm
+  batches; levels interleaved across repeats.
 
 Usage: python tools/bench_scaling.py [sf_dir] [N] [repeats]
+Env: STCS_BENCH_EVENTS/NFILES/FPT/CONTENT_LEN (batch geometry),
+     STCS_BENCH_PIN=0 to disable taskset, STCS_BENCH_AQE=0 for AQE-off.
 """
 
 from __future__ import annotations
@@ -37,13 +40,14 @@ import os
 import shutil
 import subprocess
 import sys
+import threading
 import time
 from datetime import datetime, timezone
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TMPFS_DIR = "/dev/shm/stcs_scaling"
-IDLE_MAX = float(os.environ.get("STCS_BENCH_IDLE_MAX", "3.0"))
 IDLE_WAIT_SEC = int(os.environ.get("STCS_BENCH_IDLE_WAIT", "900"))
+WARMUP_BATCHES = int(os.environ.get("STCS_BENCH_WARMUP", "2"))
 
 
 def _probe_work(rounds: int) -> None:
@@ -54,7 +58,17 @@ def _probe_work(rounds: int) -> None:
         b = hashlib.sha256(b).digest() + b[:992]
 
 
-def cpu_probe(n_procs: int = 8, rounds: int = 200_000) -> float:
+def _pin_high_cores() -> None:
+    """Monitor probes run on the top cores, disjoint from the pinned JVM
+    (which uses 0..N-1), so the monitor measures host health without
+    stealing measured capacity."""
+    try:
+        os.sched_setaffinity(0, {28, 29, 30, 31})
+    except OSError:
+        pass
+
+
+def cpu_probe(n_procs: int = 8, rounds: int = 200_000, pin_high: bool = False) -> float:
     """Measured wall seconds for n_procs concurrent sha256 workers — a
     DIRECT capacity probe. This host reports phantom load (loadavg 6-11
     with zero runnable processes and full single/multi-core speed), and
@@ -64,7 +78,8 @@ def cpu_probe(n_procs: int = 8, rounds: int = 200_000) -> float:
     import multiprocessing as mp
 
     t0 = time.time()
-    with mp.Pool(n_procs) as p:
+    init = _pin_high_cores if pin_high else None
+    with mp.Pool(n_procs, initializer=init) as p:
         p.map(_probe_work, [rounds] * n_procs)
     return time.time() - t0
 
@@ -72,6 +87,9 @@ def cpu_probe(n_procs: int = 8, rounds: int = 200_000) -> float:
 #: healthy host: ~0.75s; gate opens under 1.6s (2x headroom), i.e. the host
 #: is actually delivering parallel CPU, whatever loadavg claims
 PROBE_MAX_SEC = float(os.environ.get("STCS_BENCH_PROBE_MAX", "1.6"))
+#: in-run monitor: 4 procs on 4 high cores, healthy ~0.3-0.5s; a probe over
+#: this marks the overlapping batch window as wave-hit
+MONITOR_MAX_SEC = float(os.environ.get("STCS_BENCH_MONITOR_MAX", "1.2"))
 
 
 def wait_for_idle() -> float:
@@ -85,18 +103,76 @@ def wait_for_idle() -> float:
         time.sleep(20)
 
 
+class WaveMonitor:
+    """Background thread probing host capacity every ``interval`` seconds on
+    the high cores (disjoint from the pinned JVM). Duty cycle ~2%."""
+
+    def __init__(self, interval: float = 20.0):
+        self.interval = interval
+        self.samples: list[tuple[float, float]] = []  # (unix_ts, probe_sec)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            t = time.time()
+            p = cpu_probe(n_procs=4, rounds=100_000, pin_high=True)
+            self.samples.append((t, round(p, 2)))
+            self._stop.wait(self.interval)
+
+    def __enter__(self) -> "WaveMonitor":
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        self._thread.join(timeout=30)
+
+    def wave_windows(self) -> list[tuple[float, float]]:
+        """Time windows [probe_start, probe_end] whose probe exceeded the
+        monitor threshold."""
+        out = []
+        for t, p in self.samples:
+            if p > MONITOR_MAX_SEC:
+                out.append((t, t + p))
+        return out
+
+
+def _mark_batches(rec: dict, run_t0: float, waves: list[tuple[float, float]]) -> None:
+    """Annotate each batch with clean/wave-hit using batch wall-clock windows
+    reconstructed from run start + cumulative batch times + trigger gaps."""
+    bt = rec["extra"].get("batch_times", [])
+    phases = rec["extra"].get("batch_phases", [])
+    # reconstruct batch windows: sequential batches; trigger_gap precedes one
+    t = run_t0
+    flags = []
+    for i, b in enumerate(bt):
+        gap = phases[i].get("trigger_gap", 0.0) if i < len(phases) else 0.0
+        t += gap
+        start, end = t, t + b
+        hit = any(not (we < start or ws > end) for ws, we in waves)
+        flags.append(bool(hit))
+        t = end
+    rec["extra"]["batch_wave_hit"] = flags
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    return s[len(s) // 2]
+
+
 def run_once(sf_dir: str, cpus: int, tag: str = "run") -> dict:
     use_tmpfs = os.environ.get("STCS_BENCH_TMPFS", "1") == "1"
+    pin = os.environ.get("STCS_BENCH_PIN", "1") == "1"
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_CPUS=str(cpus),
         STCS_BENCH_ONLY="cdc_replay",
-        # Compute-bound batches: enough events that per-batch fixed cost
-        # (trigger, planning, commits ~2s) is <10% of batch wall at N cores,
-        # and enough files that every level gets full scan fan-out.
-        STCS_BENCH_EVENTS=os.environ.get("STCS_BENCH_EVENTS", "24000000"),
-        STCS_BENCH_NFILES=os.environ.get("STCS_BENCH_NFILES", "96"),
+        # 7 micro-batches of 8M events (32 input splits each): >=5 warm
+        # batches after the 2-batch warmup at every level.
+        STCS_BENCH_EVENTS=os.environ.get("STCS_BENCH_EVENTS", "56000000"),
+        STCS_BENCH_NFILES=os.environ.get("STCS_BENCH_NFILES", "224"),
         STCS_BENCH_FPT=os.environ.get("STCS_BENCH_FPT", "32"),
         STCS_BENCH_CONTENT_LEN=os.environ.get("STCS_BENCH_CONTENT_LEN", "128"),
     )
@@ -105,29 +181,41 @@ def run_once(sf_dir: str, cpus: int, tag: str = "run") -> dict:
         os.makedirs(run_tmp, exist_ok=True)
         env["TMPDIR"] = run_tmp
         # generate the change log ONCE per campaign; every level replays the
-        # identical bytes (same files, same layout — the fairest "same
-        # input" the rule asks for) and generation time drops out of the
-        # campaign wall-clock for all but the first run
-        # cache key carries EVERY generation parameter (advisor round 3: a
-        # campaign varying content_len with the same events/nfiles must not
-        # replay a stale corpus)
+        # identical bytes. The cache key carries EVERY generation parameter
+        # (advisor round 3: varying content_len must not replay a stale
+        # corpus).
         env["STCS_BENCH_LOG_DIR"] = os.path.join(
             TMPFS_DIR,
             f"shared_log_{env['STCS_BENCH_EVENTS']}_{env['STCS_BENCH_NFILES']}"
             f"_{env['STCS_BENCH_CONTENT_LEN']}",
         )
     load = wait_for_idle()  # probe seconds, not loadavg
+    cmd = [sys.executable, os.path.join(ROOT, "bench.py")]
+    if pin:
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     try:
-        out = subprocess.run(
-            [sys.executable, os.path.join(ROOT, "bench.py")],
-            env=env, capture_output=True, text=True, timeout=3600,
-        )
+        run_t0 = time.time()
+        with WaveMonitor() as mon:
+            out = subprocess.run(
+                cmd, env=env, capture_output=True, text=True, timeout=3600
+            )
         line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
         rec = json.loads(line)
+        rec["extra"]["pinned"] = pin
         rec["extra"]["cpu_probe_at_start"] = load
-        # health at exit too: a run whose start AND end probes are clean is
-        # unlikely to have been hit by a mid-run starvation wave
-        rec["extra"]["cpu_probe_at_end"] = round(cpu_probe(), 2)
+        rec["extra"]["monitor"] = mon.samples
+        _mark_batches(rec, run_t0, mon.wave_windows())
+        bt = rec["extra"]["batch_times"]
+        flags = rec["extra"]["batch_wave_hit"]
+        warm = [
+            b for i, (b, hit) in enumerate(zip(bt, flags))
+            if i >= WARMUP_BATCHES and not hit
+        ]
+        per_batch = rec["extra"]["events"] / max(len(bt), 1)
+        rec["extra"]["n_clean_warm_batches"] = len(warm)
+        if warm:
+            rec["extra"]["clean_warm_median_batch_sec"] = round(_median(warm), 2)
+            rec["extra"]["clean_warm_eps"] = round(per_batch / _median(warm), 1)
         return rec
     finally:
         if use_tmpfs:
@@ -143,69 +231,67 @@ def main():
         for cpus in (n, 4 * n):
             rec = run_once(sf_dir, cpus, tag=f"r{i}_c{cpus}")
             runs[cpus].append(rec)
-            print(f"[run] cpus={cpus} median_eps={rec['extra']['median_batch_events_per_sec']} "
-                  f"batches={rec['extra']['batch_times']} cpu_probe_at_start={rec['extra']['cpu_probe_at_start']}",
-                  flush=True)
-    lo = max(runs[n], key=lambda r: r["extra"]["median_batch_events_per_sec"])
-    hi = max(runs[4 * n], key=lambda r: r["extra"]["median_batch_events_per_sec"])
-    eps_lo = lo["extra"]["median_batch_events_per_sec"]
-    eps_hi = hi["extra"]["median_batch_events_per_sec"]
-    raw_lo = lo["extra"]["events_per_sec"]
-    raw_hi = hi["extra"]["events_per_sec"]
+            print(
+                f"[run] cpus={cpus} clean_warm_eps={rec['extra'].get('clean_warm_eps')} "
+                f"({rec['extra'].get('n_clean_warm_batches')} clean warm batches) "
+                f"batches={rec['extra']['batch_times']} wave={rec['extra']['batch_wave_hit']}",
+                flush=True,
+            )
+            with open(os.path.join(ROOT, "BENCH", "scaling_runs.jsonl"), "a") as fh:
+                fh.write(json.dumps(rec) + "\n")
+
+    def best(rs):
+        usable = [r for r in rs if r["extra"].get("clean_warm_eps")]
+        return max(usable, key=lambda r: r["extra"]["clean_warm_eps"]) if usable else None
+
+    lo, hi = best(runs[n]), best(runs[4 * n])
+    if not lo or not hi:
+        print("no clean run at one of the levels; re-run in a quieter window")
+        return
+    eps_lo = lo["extra"]["clean_warm_eps"]
+    eps_hi = hi["extra"]["clean_warm_eps"]
     eff = round(eps_hi / eps_lo / 4.0, 3)
     stamp = datetime.now(timezone.utc).isoformat(timespec="seconds")
     n_batches = len(lo["extra"]["batch_times"])
+
+    def row(level, r):
+        e = r["extra"]
+        return (
+            f"| taskset 0-{level-1}, local[{level}] | {r['queries']['cdc_replay']} | "
+            f"{e['events_per_sec']} | {e['clean_warm_eps']} "
+            f"({e['n_clean_warm_batches']} clean warm) | {e['batch_times']} | "
+            f"{e['batch_wave_hit']} | {e['cpu_probe_at_start']} |"
+        )
+
     report = f"""# BENCH — scaling evidence ({stamp})
 
 North-rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
-executors, evidenced in this sandbox by the same CDC-replay job at two local
-parallelism levels on identical input: an offset-bearing JSONL change log of
-{lo['extra']['events']} Singer change events over the
-(repo, path, commit, lang, content) table ({n_batches} micro-batches of
-{lo['extra']['events'] // n_batches} events, 32 log files per batch), replayed
-by the Structured Streaming driver (checkpointed foreachBatch, max_by merge)
-into a fresh lake; one JVM per run, levels interleaved, best of {repeats}
-runs per level by median post-warmup batch.
+executors, evidenced by the same CDC-replay job whole-JVM-pinned to {n} and
+{4*n} cores on identical input: an offset-bearing JSONL change log of
+{lo['extra']['events']} Singer change events ({n_batches} micro-batches of
+{lo['extra']['events'] // n_batches}, 32 input splits per batch), replayed by
+the Structured Streaming driver (checkpointed foreachBatch, shred + max_by
+merge, exactly-once commits) into a fresh tmpfs lake; one JVM per run, levels
+interleaved, best of {repeats} runs per level; estimator = median over the
+>=5 post-warmup batches whose wall-clock windows no in-run capacity probe
+marked wave-hit.
 
-Protocol notes (why these levels and storage):
+| pinning | total wall (s) | overall events/s | median clean-warm events/s | batch times (s) | wave-hit flags | probe at start (s) |
+| --- | --- | --- | --- | --- | --- | --- |
+{row(n, lo)}
+{row(4*n, hi)}
 
-- **N=4 vs 4N=16.** The VM advertises 32 vCPUs, but raw CPU scaling (Python
-  multiprocessing sha256, no JVM) measures 4->16 at 3.8x (0.95 eff) and
-  16->32 at only 1.3x: the host backs ~16 cores of sustained compute. 8->32
-  would measure host oversubscription, not the engine's plan.
-- **tmpfs storage** for log/lake/checkpoint/shuffle: the virtio disk stalls
-  for multiple seconds at random, which at small batch walls is the entire
-  signal. The rule targets executor scaling; a production cluster's storage
-  bandwidth scales with the cluster.
-- **Capacity gate**: runs start only when an 8-process sha256 probe
-  finishes < {PROBE_MAX_SEC}s (healthy ~0.75s). This host's loadavg is
-  unusable in both directions: it reports phantom load (6-11 with full CPU
-  available) and its starvation waves slow real work 3-25x while showing
-  nothing runnable. The probe seconds at each run's start are recorded
-  below.
-- **Median post-warmup micro-batch** (first batch carries JIT +
-  whole-stage-codegen warmup, an identical constant at both levels).
-
-| parallelism | total wall (s) | overall events/s | median-batch events/s | batch times (s) | cpu probe at start (s) |
-| --- | --- | --- | --- | --- | --- |
-| local[{n}] | {lo['queries']['cdc_replay']} | {raw_lo} | {eps_lo} | {lo['extra']['batch_times']} | {lo['extra']['cpu_probe_at_start']} |
-| local[{4*n}] | {hi['queries']['cdc_replay']} | {raw_hi} | {eps_hi} | {hi['extra']['batch_times']} | {hi['extra']['cpu_probe_at_start']} |
-
-**steady-state speedup {n}->{4*n} cores: {round(eps_hi/eps_lo, 2)}x —
+**clean-warm speedup {n}->{4*n} cores: {round(eps_hi/eps_lo, 2)}x —
 scaling efficiency: {eff}** (criterion: >= 0.8 — {"MET" if eff >= 0.8 else "MISSED"})
 
-All runs (per level, repeats={repeats}):
-
-```json
-{chr(10).join(json.dumps(r) for rs in runs.values() for r in rs)}
-```
+All runs: BENCH/scaling_runs.jsonl (full per-batch phase attribution and
+monitor samples per run).
 """
     out = os.path.join(ROOT, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as fh:
         fh.write(report)
     print(report)
-    shutil.rmtree(TMPFS_DIR, ignore_errors=True)  # incl. the shared log
 
 
 if __name__ == "__main__":
