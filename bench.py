@@ -36,11 +36,18 @@ def build_spark(cpus: int):
     # micro-batch plans; STCS_BENCH_AQE=0 lets the scaling harness measure
     # without it.
     aqe = os.environ.get("STCS_BENCH_AQE", "1") == "1"
+    # Over-decompose: 4x tasks per core for shuffles and <=32MB scan splits.
+    # One-wave stages (tasks == slots) leave cores idle behind stragglers —
+    # measured as stats-stage scaling 0.76 and write-stage 0.63 at 4->16
+    # pinned cores with exactly-one-wave granularity; 3-6 waves amortize
+    # stragglers, which is also the standard sizing on a real cluster.
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("stcs-bench")
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
-        .config("spark.default.parallelism", str(max(cpus, 8)))
+        .config("spark.sql.shuffle.partitions", str(max(4 * cpus, 16)))
+        .config("spark.default.parallelism", str(max(4 * cpus, 16)))
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("STCS_BENCH_MAX_SPLIT", str(32 * 1024 * 1024)))
         .config("spark.sql.adaptive.enabled", str(aqe).lower())
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

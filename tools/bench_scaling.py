@@ -161,6 +161,54 @@ def _median(xs: list[float]) -> float:
     return s[len(s) // 2]
 
 
+def _gen_env() -> dict:
+    return dict(
+        os.environ,
+        STCS_BENCH_EVENTS=os.environ.get("STCS_BENCH_EVENTS", "56000000"),
+        STCS_BENCH_NFILES=os.environ.get("STCS_BENCH_NFILES", "224"),
+        STCS_BENCH_FPT=os.environ.get("STCS_BENCH_FPT", "32"),
+        STCS_BENCH_CONTENT_LEN=os.environ.get("STCS_BENCH_CONTENT_LEN", "128"),
+    )
+
+
+def shared_log_dir(env: dict) -> str:
+    return os.path.join(
+        TMPFS_DIR,
+        f"shared_log_{env['STCS_BENCH_EVENTS']}_{env['STCS_BENCH_NFILES']}"
+        f"_{env['STCS_BENCH_CONTENT_LEN']}",
+    )
+
+
+def ensure_shared_log() -> str:
+    """Generate the campaign's change log ONCE, UNPINNED at full parallelism
+    — without this the first pinned low-core run would pay the (untimed but
+    wall-clock-real) generation on N cores."""
+    env = _gen_env()
+    log_dir = shared_log_dir(env)
+    if os.path.exists(os.path.join(log_dir, "_SUCCESS")):
+        return log_dir
+    script = (
+        "import os\n"
+        "from pyspark.sql import SparkSession\n"
+        "from singer_target_clickhouse_spark.gen import change_events_df, write_jsonl\n"
+        "spark = (SparkSession.builder.master('local[32]')"
+        ".config('spark.sql.shuffle.partitions','32')"
+        ".config('spark.ui.enabled','false')"
+        ".config('spark.driver.memory','48g').getOrCreate())\n"
+        "n = int(os.environ['STCS_BENCH_EVENTS'])\n"
+        "df = change_events_df(spark, n, n_repos=200, paths_per_repo=2000,"
+        " content_len=int(os.environ['STCS_BENCH_CONTENT_LEN']))\n"
+        f"write_jsonl(df, {log_dir!r}, n_files=int(os.environ['STCS_BENCH_NFILES']),"
+        " with_offsets=True)\n"
+        "spark.stop()\n"
+    )
+    subprocess.run(
+        [sys.executable, "-c", script],
+        env=dict(env, PYTHONPATH=ROOT), check=True, timeout=3600,
+    )
+    return log_dir
+
+
 def run_once(sf_dir: str, cpus: int, tag: str = "run") -> dict:
     use_tmpfs = os.environ.get("STCS_BENCH_TMPFS", "1") == "1"
     pin = os.environ.get("STCS_BENCH_PIN", "1") == "1"
@@ -184,11 +232,7 @@ def run_once(sf_dir: str, cpus: int, tag: str = "run") -> dict:
         # identical bytes. The cache key carries EVERY generation parameter
         # (advisor round 3: varying content_len must not replay a stale
         # corpus).
-        env["STCS_BENCH_LOG_DIR"] = os.path.join(
-            TMPFS_DIR,
-            f"shared_log_{env['STCS_BENCH_EVENTS']}_{env['STCS_BENCH_NFILES']}"
-            f"_{env['STCS_BENCH_CONTENT_LEN']}",
-        )
+        env["STCS_BENCH_LOG_DIR"] = shared_log_dir(env)
     load = wait_for_idle()  # probe seconds, not loadavg
     cmd = [sys.executable, os.path.join(ROOT, "bench.py")]
     if pin:
@@ -226,6 +270,8 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    if os.environ.get("STCS_BENCH_TMPFS", "1") == "1":
+        ensure_shared_log()
     runs: dict[int, list[dict]] = {n: [], 4 * n: []}
     for i in range(repeats):  # interleave levels: noise hits both equally
         for cpus in (n, 4 * n):
