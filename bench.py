@@ -44,8 +44,10 @@ def build_spark(cpus: int):
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("stcs-bench")
-        .config("spark.sql.shuffle.partitions", str(max(4 * cpus, 16)))
-        .config("spark.default.parallelism", str(max(4 * cpus, 16)))
+        .config("spark.sql.shuffle.partitions",
+                os.environ.get("STCS_BENCH_SHUFFLE", str(min(max(4 * cpus, 16), 64))))
+        .config("spark.default.parallelism",
+                os.environ.get("STCS_BENCH_SHUFFLE", str(min(max(4 * cpus, 16), 64))))
         .config("spark.sql.files.maxPartitionBytes",
                 os.environ.get("STCS_BENCH_MAX_SPLIT", str(32 * 1024 * 1024)))
         .config("spark.sql.adaptive.enabled", str(aqe).lower())

@@ -297,28 +297,17 @@ class LakeCatalog:
         if snap.bucket_by:
             # One exchange aligned to the physical layout: without it,
             # partitionBy fans every task out across all bucket dirs
-            # (tasks × buckets small files). Salting within the bucket keeps
-            # the write stage at ~shuffle.partitions tasks instead of capping
-            # it at n_buckets-with-hash-collisions: with 32 buckets hashed
-            # into 16 partitions the loaded task carries 4-5 buckets (Poisson)
-            # and the stage straggles — measured as write-stage scaling 0.63
-            # at 4->16 cores. The salt derives from the same key hash
-            # (re-mixed), so it is deterministic per row; a bucket then gets
-            # ~w files per commit, which the manifest's per-bucket file LIST
-            # is built for (Iceberg semantics).
-            try:
-                n_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-            except Exception:
-                n_parts = snap.n_buckets
-            w = max(1, n_parts // max(snap.n_buckets, 1))
-            if w > 1:
-                salt = F.pmod(
-                    F.xxhash64(F.xxhash64(*[F.col(c) for c in snap.bucket_by])),
-                    F.lit(w),
-                )
-                bucketed = bucketed.repartition(F.col("_bucket"), salt)
-            else:
-                bucketed = bucketed.repartition(F.col("_bucket"))
+            # (tasks × buckets small files); with it, each bucket is written
+            # by one task and each commit adds exactly one file per touched
+            # bucket (Iceberg-like bounded file counts). Write-stage BALANCE
+            # comes from over-partitioned shuffles upstream, NOT from salting
+            # this exchange: a round-4 experiment salted buckets to
+            # shuffle.partitions write tasks and it amplified files per
+            # commit w-fold, growing every later merge's small-file read and
+            # regressing end-to-end throughput — while the measured scaling
+            # gains came entirely from 4x-cores shuffle partitions + 32 MB
+            # scan splits (the salt never engaged at the levels that passed).
+            bucketed = bucketed.repartition(F.col("_bucket"))
         import time
 
         t0 = time.perf_counter()
