@@ -374,7 +374,9 @@ def dedup_clusters(
                         F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                     ).alias("label"),
                 )
-                .localCheckpoint()
+                # lazy: the convergence-sum action below materializes the
+                # checkpoint, so each round is ONE Spark job, not two
+                .localCheckpoint(eager=False)
             )
             new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
             labels = new_labels
