@@ -691,3 +691,23 @@ def test_orphan_delete_finalize_only_mode_parity(spark, lake, tmp_path):
             ["_root_id", "_root_ver"], "left_anti").count()
         assert orphans == 0
     assert hashes[True] == hashes[False]
+
+
+def test_multi_stream_pool_failure_aborts_batch(spark, lake, tmp_path):
+    # Reference F4 under the merge pool: one stream failing mid-batch must
+    # abort apply_lines (error propagates out of the pool), not be swallowed
+    # by the other streams' successful merges.
+    schema_ok = json.dumps({
+        "type": "SCHEMA", "stream": "ok", "schema": {"type": "object", "properties": {
+            "id": {"type": "integer"}}}, "key_properties": ["id"]})
+    schema_bad = json.dumps({
+        "type": "SCHEMA", "stream": "bad", "schema": {"type": "object", "properties": {
+            "id": {"type": "integer"}, "tag": {"type": ["null", "string"]}}},
+        "key_properties": ["id"], "cleaning_column": "tag"})
+    ok = [json.dumps({"type": "RECORD", "stream": "ok", "record": {"id": i}}) for i in range(5)]
+    # cleaning column with 3 distinct truthy values > cap of 2 => ValueError
+    bad = [json.dumps({"type": "RECORD", "stream": "bad",
+                       "record": {"id": i, "tag": f"t{i}"}}) for i in range(3)]
+    e = engine(spark, lake, merge_concurrency=2, max_cleaning_values=2)
+    with pytest.raises(ValueError, match="cleaning column"):
+        e.apply_lines(_mk_lines(spark, [schema_ok, schema_bad] + ok + bad, 0))
