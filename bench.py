@@ -15,6 +15,10 @@ Env knobs:
 - ``SPARK_GRAFT_CPUS``    local[] parallelism (default 32)
 - ``STCS_BENCH_ONLY``     comma-separated subset of query names (used by
   tools/bench_scaling.py to isolate cdc_replay at two core counts)
+- ``STCS_BENCH_SHUFFLE`` / ``STCS_BENCH_MAX_SPLIT``  replay-path task
+  granularity (default 4x cores / 32 MB — scoped to ``bench_cdc_replay``)
+- ``STCS_BENCH_SUITE_SHUFFLE`` / ``STCS_BENCH_SUITE_SPLIT``  query-suite
+  granularity (default 1x cores / 128 MB)
 """
 
 from __future__ import annotations
@@ -36,26 +40,59 @@ def build_spark(cpus: int):
     # micro-batch plans; STCS_BENCH_AQE=0 lets the scaling harness measure
     # without it.
     aqe = os.environ.get("STCS_BENCH_AQE", "1") == "1"
-    # Over-decompose: 4x tasks per core for shuffles and <=32MB scan splits.
-    # One-wave stages (tasks == slots) leave cores idle behind stragglers —
-    # measured as stats-stage scaling 0.76 and write-stage 0.63 at 4->16
-    # pinned cores with exactly-one-wave granularity; 3-6 waves amortize
-    # stragglers, which is also the standard sizing on a real cluster.
+    # Session-level granularity = QUERY-SUITE granularity: one shuffle
+    # partition per core and default (128 MB) scan splits. The replay-path
+    # over-decomposition (4x tasks/core, 32 MB splits — measured to help the
+    # pinned low-core scaling runs by amortizing stragglers) is scoped to
+    # ``bench_cdc_replay`` via runtime conf: applied globally in round 4 it
+    # slowed the whole tiny-data query suite ~21-42% (r3 61.1 s -> r4 87.0 s
+    # at local[32] sf0.1; see round-4 VERDICT "What's wrong #1").
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("stcs-bench")
         .config("spark.sql.shuffle.partitions",
-                os.environ.get("STCS_BENCH_SHUFFLE", str(min(max(4 * cpus, 16), 64))))
-        .config("spark.default.parallelism",
-                os.environ.get("STCS_BENCH_SHUFFLE", str(min(max(4 * cpus, 16), 64))))
+                os.environ.get("STCS_BENCH_SUITE_SHUFFLE", str(max(cpus, 8))))
+        .config("spark.default.parallelism", str(max(cpus, 8)))
         .config("spark.sql.files.maxPartitionBytes",
-                os.environ.get("STCS_BENCH_MAX_SPLIT", str(32 * 1024 * 1024)))
+                os.environ.get("STCS_BENCH_SUITE_SPLIT", str(128 * 1024 * 1024)))
         .config("spark.sql.adaptive.enabled", str(aqe).lower())
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "48g")
         .getOrCreate()
     )
+
+
+class _replay_granularity:
+    """Scope the replay over-decomposition (4x tasks per core for shuffles,
+    <=32 MB scan splits) to the CDC-replay measurement. One-wave stages
+    (tasks == slots) leave cores idle behind stragglers — measured as
+    stats-stage scaling 0.76 and write-stage 0.63 at 4->16 pinned cores with
+    exactly-one-wave granularity; 3-6 waves amortize stragglers, which is
+    also the standard sizing on a real cluster. Runtime-settable confs only
+    (shuffle partitions, split size); restored on exit so the query suite
+    keeps the coarser session granularity."""
+
+    def __init__(self, spark, cpus: int):
+        self.spark = spark
+        self.shuffle = os.environ.get(
+            "STCS_BENCH_SHUFFLE", str(min(max(4 * cpus, 16), 64))
+        )
+        self.split = os.environ.get("STCS_BENCH_MAX_SPLIT", str(32 * 1024 * 1024))
+
+    def __enter__(self):
+        c = self.spark.conf
+        self._old = {
+            k: c.get(k)
+            for k in ("spark.sql.shuffle.partitions", "spark.sql.files.maxPartitionBytes")
+        }
+        c.set("spark.sql.shuffle.partitions", self.shuffle)
+        c.set("spark.sql.files.maxPartitionBytes", self.split)
+        return self
+
+    def __exit__(self, *exc):
+        for k, v in self._old.items():
+            self.spark.conf.set(k, v)
 
 
 def bench_cdc_replay(spark, sf_dir: str, n_files: int = None, files_per_trigger: int = None):
@@ -97,7 +134,7 @@ def bench_cdc_replay(spark, sf_dir: str, n_files: int = None, files_per_trigger:
     driver.run_available()
     elapsed = time.time() - t0
     rows = driver.engine.catalog.row_count(REPO_STREAM)
-    bt = driver.batch_times
+    bt = list(driver.batch_times)  # deque (bounded log) -> list for slicing
     steady = sorted(bt[1:] or bt)
     median = steady[len(steady) // 2]
     per_batch = (n + 1) / max(len(bt), 1)
@@ -146,9 +183,10 @@ def main():
         fn()
         timings[name] = round(time.time() - t0, 2)
 
-    # flagship: CDC replay
+    # flagship: CDC replay (runs under its own finer task granularity)
     if not only or "cdc_replay" in only:
-        elapsed, info = bench_cdc_replay(spark, sf_dir)
+        with _replay_granularity(spark, cpus):
+            elapsed, info = bench_cdc_replay(spark, sf_dir)
         timings["cdc_replay"] = round(elapsed, 2)
         extra.update(info)
 

@@ -46,13 +46,6 @@ class Config:
     #: 100 TB you want O(10k) buckets so a bucket is a few hundred MB.
     n_buckets: int = 32
 
-    #: Legacy knob, kept for API compat and documentation: hot-key skew in
-    #: the merge is defused by the ``max_by`` hash aggregate's map-side
-    #: partial combine (each input partition pre-collapses its share of a hot
-    #: (repo, path) key before the exchange), which subsumes explicit
-    #: (bucket, salt) repartitioning.
-    skew_salt: int = 4
-
     #: Run the child-orphan delete (reference D3, ``StreamProcessor.ts:148-169``)
     #: after every batch instead of only at finalize. Keeps child tables
     #: always-consistent; cost is bounded by the touched root buckets.

@@ -47,7 +47,6 @@ def merge_upsert(
     name: str,
     batch: DataFrame,
     snap: Optional[TableSnapshot] = None,
-    skew_salt: int = 1,
     tombstone_col: Optional[str] = None,
     touched: Optional[list[int]] = None,
 ) -> TableSnapshot:
@@ -78,7 +77,9 @@ def merge_upsert(
         target = target.withColumn(tombstone_col, F.lit(False))
     # No explicit salting needed: latest_wins is a max_by hash aggregate whose
     # partial (map-side) combine already collapses hot keys per input
-    # partition before the shuffle (``skew_salt`` kept for API compat).
+    # partition before the shuffle. (An explicit salted write was measured
+    # and reverted in round 4: it amplified files-per-commit w-fold and
+    # regressed end-to-end replay; the former ``skew_salt`` knob is removed.)
     merged = latest_wins(target.unionByName(batch), snap.pk, "_ver")
     if tombstone_col:
         merged = merged.where(~F.col(tombstone_col)).drop(tombstone_col)

@@ -320,12 +320,17 @@ def dedup_clusters(
     through near-dup pairs (its own id when it has no duplicates). Keeping
     ``doc_id == cluster_id`` rows is then the canonical corpus.
 
-    Min-label propagation: iterate ``label(x) = min(label(x),
-    min(label(neighbors)))`` to fixpoint. Each round is one join + one
-    hash aggregate (shuffles keyed by doc id, uniform); rounds needed =
-    graph diameter, and near-dup components are dense/star-like (a clique of
-    k duplicates converges in 1 round), so real corpora finish in 2-4
-    rounds — the alternating large-star/small-star trick exists for
+    Min-label propagation: iterate ``label(x) = min over (x,y) in E' of
+    label(y)`` to fixpoint, where ``E'`` is the pair graph in BOTH
+    directions plus a self-edge per document. The self-edges fold the
+    "keep my own label" term into the neighbor aggregate, so each round is
+    ONE join + ONE hash aggregate (shuffles keyed by doc id, uniform) —
+    round 4's form spent a second join per round re-attaching the old label.
+    Duplicate edges are harmless under ``min``, so the edge set is NOT
+    ``distinct()``-ed (that was a full extra shuffle for nothing). Rounds
+    needed = graph diameter, and near-dup components are dense/star-like (a
+    clique of k duplicates converges in 1 round), so real corpora finish in
+    2-4 rounds — the alternating large-star/small-star trick exists for
     pathological chain graphs but is not needed here. Convergence is
     detected driver-side from ``sum(label)``, which strictly decreases until
     the fixpoint (labels only ever decrease) — one O(1)-row collect per
@@ -334,7 +339,17 @@ def dedup_clusters(
 
     ``pairs`` defaults to ``minhash_lsh_pairs(df, threshold=threshold)``;
     pass any (a_id, b_id) frame (exact, simhash, embedding) to cluster a
-    different dup relation. Returns (doc_id, cluster_id).
+    different dup relation. Returns (doc_id, cluster_id). Pair endpoints
+    should be ids of ``df`` rows; an id appearing only in ``pairs`` still
+    propagates labels through itself (and shows up in the output once it
+    acquires one), but its own id never becomes a cluster label.
+
+    Fails loudly instead of silently (round-4 ADVICE): doc ids must survive
+    a cast to long (a non-numeric id column would otherwise propagate
+    all-null labels and "converge" on None == None after one round), and
+    exhausting ``max_iter`` without reaching the fixpoint raises rather
+    than returning an un-converged labeling that silently diverges from the
+    transitive closure.
 
     Each round ``localCheckpoint``s the label frame: iterative plans MUST
     truncate lineage — without it the logical plan nests one join per round
@@ -347,42 +362,58 @@ def dedup_clusters(
     """
     if pairs is None:
         pairs = minhash_lsh_pairs(df, text_col=text_col, id_col=id_col, threshold=threshold)
-    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    # try_cast, not cast: under ANSI mode (Spark 4 default) a plain cast
+    # throws an opaque SparkNumberFormatException mid-job on the first bad
+    # id; try_cast yields nulls that the validation below turns into an
+    # actionable error
+    ids = df.select(F.col(id_col).try_cast("long").alias("id"))
+    fwd = pairs.select(
+        F.col("a_id").try_cast("long").alias("src"),
+        F.col("b_id").try_cast("long").alias("dst"),
+    )
     edges = (
-        edges.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
+        fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .unionByName(ids.select(F.col("id").alias("src"), F.col("id").alias("dst")))
         .cache()
     )
-    labels = df.select(
-        F.col(id_col).cast("long").alias("id"), F.col(id_col).cast("long").alias("label")
-    ).localCheckpoint()
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # lazy checkpoint: the combined validate+sum collect below materializes
+    # it, so initialization is ONE Spark job (as is every round after)
+    labels = ids.select("id", F.col("id").alias("label")).localCheckpoint(eager=False)
+    first = labels.agg(
+        F.sum("label").alias("s"), F.count("*").alias("n"), F.count("label").alias("nn")
+    ).collect()[0]
+    if first["n"] != first["nn"]:
+        raise ValueError(
+            f"dedup_clusters: {first['n'] - first['nn']} of {first['n']} values in "
+            f"{id_col!r} are not castable to long; min-label propagation needs "
+            "numeric ids (map string ids to a dense long surrogate first, e.g. "
+            "xxhash64 or monotonically_increasing_id)"
+        )
+    prev_sum = first["s"]
+    converged = first["n"] == 0  # empty input is trivially converged
     try:
         for _ in range(max_iter):
-            neighbor_min = (
+            if converged:
+                break
+            new_labels = (
                 edges.join(labels, edges["dst"] == labels["id"])
                 .groupBy("src")
-                .agg(F.min("label").alias("nlabel"))
-            )
-            new_labels = (
-                labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
-                .select(
-                    labels["id"],
-                    F.least(
-                        F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                    ).alias("label"),
-                )
+                .agg(F.min("label").alias("label"))
+                .withColumnRenamed("src", "id")
                 # lazy: the convergence-sum action below materializes the
                 # checkpoint, so each round is ONE Spark job, not two
                 .localCheckpoint(eager=False)
             )
             new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
             labels = new_labels
-            if new_sum == prev_sum:
-                break
+            converged = new_sum == prev_sum
             prev_sum = new_sum
+        if not converged:
+            raise RuntimeError(
+                f"dedup_clusters did not converge within max_iter={max_iter} rounds "
+                "(graph diameter exceeds the cap); raise max_iter — returning the "
+                "partial labeling would silently diverge from the transitive closure"
+            )
         return labels.select(
             F.col("id").alias(id_col), F.col("label").alias("cluster_id")
         )

@@ -55,13 +55,25 @@ class StreamingDriver:
         self.offsets_in_log = offsets_in_log
         os.makedirs(checkpoint_dir, exist_ok=True)
         self.engine = SingerEngine(spark, config, run_id=self._pinned_run_id())
-        #: wall seconds per processed micro-batch (bench / scaling evidence)
-        self.batch_times: list[float] = []
+        from collections import deque
+
+        from ..engine import PHASE_LOG_MAXLEN
+
+        #: wall seconds per processed micro-batch (bench / scaling evidence).
+        #: Bounded like engine.batch_phases (round-4 ADVICE): a long-lived
+        #: streaming driver must not grow unbounded in-memory logs.
+        self.batch_times: "deque[float]" = deque(maxlen=PHASE_LOG_MAXLEN)
         #: per-batch phase attribution: the engine's serial-window phases
         #: plus the streaming trigger overhead between batches
         #: (``trigger_gap`` = wall between previous batch end and this batch
         #: entering foreachBatch: source listing, offset/commit WAL writes)
-        self.batch_phase_log: list[dict[str, float]] = []
+        #: plus ABSOLUTE epoch timestamps ``wall_start``/``wall_end`` so an
+        #: external capacity monitor can intersect batch windows with its
+        #: probe samples directly instead of reconstructing them from
+        #: subprocess launch time (round-4 ADVICE: the pre-first-batch
+        #: startup window — imports, JVM, stream init — shifted every
+        #: reconstructed window earlier, misaligning wave-hit flags).
+        self.batch_phase_log: "deque[dict[str, float]]" = deque(maxlen=PHASE_LOG_MAXLEN)
         self._last_batch_end: float = 0.0
 
     # ------------------------------------------------------------- run-id pin
@@ -113,6 +125,8 @@ class StreamingDriver:
                 else {}
             )
             ph["batch_total"] = end - t0
+            ph["wall_start"] = t0
+            ph["wall_end"] = end
             if self._last_batch_end:
                 ph["trigger_gap"] = t0 - self._last_batch_end
             self._last_batch_end = end

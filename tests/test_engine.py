@@ -711,3 +711,36 @@ def test_multi_stream_pool_failure_aborts_batch(spark, lake, tmp_path):
     e = engine(spark, lake, merge_concurrency=2, max_cleaning_values=2)
     with pytest.raises(ValueError, match="cleaning column"):
         e.apply_lines(_mk_lines(spark, [schema_ok, schema_bad] + ok + bad, 0))
+
+
+def test_pool_metrics_jsonl_every_line_parses(spark, lake, tmp_path):
+    # round-4 VERDICT #6: _emit_metrics appends from merge_concurrency pool
+    # threads; under the lock every line of metrics.jsonl must parse as one
+    # complete JSON record (no interleaved/torn writes), across a 4-stream
+    # batch hammered over several micro-batches.
+    import os
+
+    def mk(stream, n, tag):
+        schema = json.dumps({
+            "type": "SCHEMA", "stream": stream,
+            "schema": {"type": "object", "properties": {
+                "id": {"type": "integer"}, "v": {"type": ["null", "string"]}}},
+            "key_properties": ["id"]})
+        recs = [json.dumps({"type": "RECORD", "stream": stream,
+                            "record": {"id": i, "v": f"{tag}{i}"}}) for i in range(n)]
+        return [schema] + recs
+
+    e = engine(spark, lake, merge_concurrency=4)
+    base = 0
+    for batch in range(3):
+        lines = sum((mk(f"s{k}", 25, f"b{batch}v") for k in range(4)), [])
+        e.apply_lines(_mk_lines(spark, lines, base))
+        base += len(lines)
+    path = os.path.join(lake, "_metrics", "metrics.jsonl")
+    with open(path) as fh:
+        raw = fh.readlines()
+    parsed = [json.loads(line) for line in raw]  # raises on any torn line
+    # one record per (stream, batch): 4 streams x 3 batches
+    applies = [r for r in parsed if r.get("table") in {"s0", "s1", "s2", "s3"}]
+    assert len(applies) >= 12
+    assert {r["table"] for r in applies} == {"s0", "s1", "s2", "s3"}

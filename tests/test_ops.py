@@ -353,3 +353,64 @@ def test_dedup_clusters_labels_converge_not_iter_capped(spark):
     got = {r["doc_id"]: r["cluster_id"]
            for r in D.dedup_clusters(docs, pairs=pairs).collect()}
     assert got == {i: 1 for i in range(1, 10)}
+
+
+def _box(btype, body):
+    import struct
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _mp4_bytes(timescale, duration, version=0):
+    import struct
+    if version == 0:
+        mvhd = (b"\x00\x00\x00\x00" + struct.pack(">II", 0, 0)
+                + struct.pack(">II", timescale, duration) + b"\x00" * 80)
+    else:
+        mvhd = (b"\x01\x00\x00\x00" + struct.pack(">QQ", 0, 0)
+                + struct.pack(">I", timescale) + struct.pack(">Q", duration)
+                + b"\x00" * 80)
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    return ftyp + _box(b"moov", _box(b"mvhd", mvhd))
+
+
+def test_multimodal_real_mp4_duration(spark):
+    # round-4 VERDICT #7: MP4 duration via a stdlib ISO-BMFF box walk to
+    # moov/mvhd — the remaining codec-free de-stub. v0 and v1 headers.
+    from singer_target_clickhouse_spark.ops.multimodal import _parse_mp4_duration
+
+    df = spark.createDataFrame(
+        [(9, "video", "video/mp4", bytearray(_mp4_bytes(600, 1200)), {})],
+        schema="asset_id long, kind string, mime string, payload binary, meta map<string,string>",
+    )
+    r = decode_features(df, fake_decode=False).collect()[0]
+    assert r["duration_ms"] == 2000
+    assert _parse_mp4_duration(_mp4_bytes(90000, 90000 * 3, version=1)) == 3000
+    # 64-bit largesize encoding of the moov box parses identically
+    import struct
+    v0 = _mp4_bytes(600, 1200)
+    moov = v0[24:]  # after the 24-byte ftyp box
+    large = v0[:24] + b"\x00\x00\x00\x01" + b"moov" + struct.pack(">Q", len(moov) + 8) + moov[8:]
+    assert _parse_mp4_duration(large) == 2000
+    # truncated mvhd body and unknown-duration sentinel stay codec-gated
+    assert _parse_mp4_duration(_mp4_bytes(600, 1200)[:40]) is None
+    assert _parse_mp4_duration(_mp4_bytes(600, 0xFFFFFFFF)) is None
+    assert _parse_mp4_duration(_mp4_bytes(0, 1200)) is None
+
+
+def test_dedup_clusters_non_numeric_ids_raise(spark):
+    # round-4 ADVICE: a non-numeric id column used to cast to all-null
+    # labels and "converge" on None == None after one round — now it raises.
+    pairs = spark.createDataFrame([("a", "b")], "a_id string, b_id string")
+    docs = spark.createDataFrame([("a",), ("b",)], "doc_id string")
+    with pytest.raises(ValueError, match="castable to long"):
+        D.dedup_clusters(docs, pairs=pairs)
+
+
+def test_dedup_clusters_max_iter_exhausted_raises(spark):
+    # round-4 ADVICE: exhausting max_iter without reaching the fixpoint must
+    # raise, not silently return an un-converged labeling.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "a_id long, b_id long")
+    docs = spark.createDataFrame([(i,) for i in range(1, 10)], "doc_id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.dedup_clusters(docs, pairs=pairs, max_iter=1)

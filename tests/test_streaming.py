@@ -41,6 +41,17 @@ def test_streaming_apply_and_resume(spark, tmp_path):
     assert eng.catalog.row_count(REPO_STREAM) == 2
     assert eng.read_state() == {"pos": 1}
 
+    # absolute per-batch wall windows (round-4 ADVICE: the scaling monitor
+    # intersects these with its probe samples; reconstructed windows were
+    # shifted by the pre-first-batch startup interval)
+    import time as _time
+    assert d1.batch_phase_log, "expected at least one batch phase record"
+    for ph in d1.batch_phase_log:
+        assert ph["wall_start"] < ph["wall_end"] <= _time.time()
+        assert abs((ph["wall_end"] - ph["wall_start"]) - ph["batch_total"]) < 0.01
+    starts = [ph["wall_start"] for ph in d1.batch_phase_log]
+    assert starts == sorted(starts)
+
     # new file arrives; a NEW driver instance (process restart) resumes from
     # the checkpoint and applies only the new file
     _write_log(log, "001.jsonl", [

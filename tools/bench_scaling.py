@@ -139,20 +139,30 @@ class WaveMonitor:
 
 
 def _mark_batches(rec: dict, run_t0: float, waves: list[tuple[float, float]]) -> None:
-    """Annotate each batch with clean/wave-hit using batch wall-clock windows
-    reconstructed from run start + cumulative batch times + trigger gaps."""
+    """Annotate each batch with clean/wave-hit by intersecting each batch's
+    ABSOLUTE wall-clock window (``wall_start``/``wall_end`` recorded by
+    StreamingDriver per batch) with the monitor's probe windows.
+
+    Round-4 ADVICE fix: windows used to be reconstructed from subprocess
+    launch time + cumulative batch walls, which ignored the pre-first-batch
+    startup interval (imports, JVM/SparkSession spin-up, stream init — easily
+    20 s+), shifting every window earlier and misaligning wave flags. The
+    reconstruction remains only as a fallback for records predating the
+    timestamps."""
     bt = rec["extra"].get("batch_times", [])
     phases = rec["extra"].get("batch_phases", [])
-    # reconstruct batch windows: sequential batches; trigger_gap precedes one
-    t = run_t0
     flags = []
+    t = run_t0  # fallback reconstruction cursor
     for i, b in enumerate(bt):
-        gap = phases[i].get("trigger_gap", 0.0) if i < len(phases) else 0.0
-        t += gap
-        start, end = t, t + b
+        ph = phases[i] if i < len(phases) else {}
+        if "wall_start" in ph and "wall_end" in ph:
+            start, end = ph["wall_start"], ph["wall_end"]
+        else:
+            t += ph.get("trigger_gap", 0.0)
+            start, end = t, t + b
+            t = end
         hit = any(not (we < start or ws > end) for ws, we in waves)
         flags.append(bool(hit))
-        t = end
     rec["extra"]["batch_wave_hit"] = flags
 
 
