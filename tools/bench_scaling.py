@@ -84,6 +84,53 @@ def cpu_probe(n_procs: int = 8, rounds: int = 200_000, pin_high: bool = False) -
     return time.time() - t0
 
 
+def _pin_and_stream(args: "tuple[int, int]") -> float:
+    """Worker for mem_bandwidth_probe: pin to one core, run a streaming
+    triad + random gather over a working set far beyond L3, return the
+    bytes/sec this core sustained. The mix mirrors the replay job's memory
+    profile (sequential parse/cache traffic + hash-shuffle gathers)."""
+    core, mb = args
+    try:
+        os.sched_setaffinity(0, {core})
+    except OSError:
+        pass
+    import numpy as np
+
+    n = mb * 1024 * 1024 // 8
+    a = np.ones(n)
+    b = np.ones(n)
+    out = np.empty(n)
+    gout = np.empty(n // 8)
+    idx = np.random.default_rng(core).integers(0, n, n // 8)
+    reps = 3
+    for r in range(reps + 1):
+        if r == 1:
+            t0 = time.time()  # rep 0 is untimed warmup (first-touch pages)
+        np.add(a, b, out=out)     # stream: read 2n, write n doubles
+        np.take(a, idx, out=gout)  # gather: n/8 random reads
+    dt = time.time() - t0
+    touched = reps * (3 * n + n // 8) * 8
+    return touched / dt
+
+
+def mem_bandwidth_probe(cores: "list[int]", mb_per_core: int = 64) -> dict:
+    """Aggregate memory bandwidth (GB/s) with one pinned streaming worker
+    per core of the measured set. Run per level right before the JVM
+    launches: the north-rule 4->16 decomposition claims a single-socket
+    bandwidth knee, so the probe records what the memory subsystem delivers
+    to exactly the cores the run is pinned to (round-4 VERDICT #3)."""
+    import multiprocessing as mp
+
+    with mp.Pool(len(cores)) as p:
+        rates = p.map(_pin_and_stream, [(c, mb_per_core) for c in cores])
+    total = sum(rates)
+    return {
+        "cores": len(cores),
+        "gb_per_sec_total": round(total / 1e9, 2),
+        "gb_per_sec_per_core": round(total / len(cores) / 1e9, 2),
+    }
+
+
 #: healthy host: ~0.75s; gate opens under 1.6s (2x headroom), i.e. the host
 #: is actually delivering parallel CPU, whatever loadavg claims
 PROBE_MAX_SEC = float(os.environ.get("STCS_BENCH_PROBE_MAX", "1.6"))
@@ -244,21 +291,39 @@ def run_once(sf_dir: str, cpus: int, tag: str = "run") -> dict:
         # corpus).
         env["STCS_BENCH_LOG_DIR"] = shared_log_dir(env)
     load = wait_for_idle()  # probe seconds, not loadavg
+    mem = mem_bandwidth_probe(list(range(cpus)))
     cmd = [sys.executable, os.path.join(ROOT, "bench.py")]
     if pin:
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    # The in-run monitor probes cores 28-31, OUTSIDE every pinned set up to
+    # c16. A 32-core run pins the whole machine: the monitor would both
+    # steal measured capacity and read the JVM's own load as a "wave",
+    # flagging every batch. Disable it there (STCS_BENCH_MONITOR=0 forces
+    # either way); interference on this host is strictly additive, so an
+    # unmonitored level can only UNDERSTATE its own throughput — conservative
+    # for the 4N side of an efficiency ratio.
+    monitor_on = os.environ.get("STCS_BENCH_MONITOR", "1") == "1" and cpus <= 24
     try:
         run_t0 = time.time()
-        with WaveMonitor() as mon:
+        if monitor_on:
+            with WaveMonitor() as mon:
+                out = subprocess.run(
+                    cmd, env=env, capture_output=True, text=True, timeout=3600
+                )
+            samples, waves = mon.samples, mon.wave_windows()
+        else:
             out = subprocess.run(
                 cmd, env=env, capture_output=True, text=True, timeout=3600
             )
+            samples, waves = [], []
         line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
         rec = json.loads(line)
         rec["extra"]["pinned"] = pin
         rec["extra"]["cpu_probe_at_start"] = load
-        rec["extra"]["monitor"] = mon.samples
-        _mark_batches(rec, run_t0, mon.wave_windows())
+        rec["extra"]["mem_probe"] = mem
+        rec["extra"]["monitor"] = samples
+        rec["extra"]["monitored"] = monitor_on
+        _mark_batches(rec, run_t0, waves)
         bt = rec["extra"]["batch_times"]
         flags = rec["extra"]["batch_wave_hit"]
         warm = [
@@ -343,7 +408,12 @@ scaling efficiency: {eff}** (criterion: >= 0.8 — {"MET" if eff >= 0.8 else "MI
 All runs: BENCH/scaling_runs.jsonl (full per-batch phase attribution and
 monitor samples per run).
 """
-    out = os.path.join(ROOT, "BENCH", "BASELINE.md")
+    # Auto-report goes to its own file: BENCH/BASELINE.md is the hand-
+    # curated synthesis across campaigns (headline estimator, decomposition,
+    # probe evidence) and must not be clobbered by a single campaign's
+    # template (round-5 change; the round-4 headline mislabeling slipped in
+    # partly because the tool rewrote the file wholesale).
+    out = os.path.join(ROOT, "BENCH", f"scaling_report_{n}to{4*n}_latest.md")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as fh:
         fh.write(report)
