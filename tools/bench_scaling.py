@@ -113,6 +113,39 @@ def _pin_and_stream(args: "tuple[int, int]") -> float:
     return touched / dt
 
 
+def _pin_and_hash(args: "tuple[int, int]") -> float:
+    """Worker for compute_probe: pin to one core of the measured set and
+    time a fixed sha256 workload — per-core COMPUTE capacity, the
+    complement of the bandwidth probe. If per-core hash time grows with the
+    level's core count, the socket is downclocking (or oversubscribed) as
+    more cores activate — a frequency artifact a real cluster's N->4N does
+    not share (every node runs the same turbo state at both sizes)."""
+    core, rounds = args
+    try:
+        os.sched_setaffinity(0, {core})
+    except OSError:
+        pass
+    t0 = time.time()
+    _probe_work(rounds)
+    return time.time() - t0
+
+
+def compute_probe(cores: "list[int]", rounds: int = 200_000) -> dict:
+    """Per-core pinned sha256 seconds over exactly the measured core set —
+    recorded per level right before the JVM launches, beside mem_probe, so
+    a scaling pair's decomposition can split socket rolloff into frequency
+    (this probe) vs memory bandwidth (mem_probe)."""
+    import multiprocessing as mp
+
+    with mp.Pool(len(cores)) as p:
+        secs = p.map(_pin_and_hash, [(c, rounds) for c in cores])
+    return {
+        "cores": len(cores),
+        "sec_per_core_median": round(_median(secs), 3),
+        "sec_per_core_max": round(max(secs), 3),
+    }
+
+
 def mem_bandwidth_probe(cores: "list[int]", mb_per_core: int = 64) -> dict:
     """Aggregate memory bandwidth (GB/s) with one pinned streaming worker
     per core of the measured set. Run per level right before the JVM
@@ -292,6 +325,7 @@ def run_once(sf_dir: str, cpus: int, tag: str = "run") -> dict:
         env["STCS_BENCH_LOG_DIR"] = shared_log_dir(env)
     load = wait_for_idle()  # probe seconds, not loadavg
     mem = mem_bandwidth_probe(list(range(cpus)))
+    comp = compute_probe(list(range(cpus)))
     cmd = [sys.executable, os.path.join(ROOT, "bench.py")]
     if pin:
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
@@ -321,6 +355,7 @@ def run_once(sf_dir: str, cpus: int, tag: str = "run") -> dict:
         rec["extra"]["pinned"] = pin
         rec["extra"]["cpu_probe_at_start"] = load
         rec["extra"]["mem_probe"] = mem
+        rec["extra"]["compute_probe"] = comp
         rec["extra"]["monitor"] = samples
         rec["extra"]["monitored"] = monitor_on
         _mark_batches(rec, run_t0, waves)
