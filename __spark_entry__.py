@@ -277,6 +277,20 @@ def _similarity_lsh_ann(spark, sf):
     return S.lsh_bucket_ann(emb, emb.where("vec_id < 20"), dim=64, k=5, n_planes=8)
 
 
+def _ann_ivf_topk(spark, sf):
+    """IVF-flat ANN: deterministic sampled coarse quantizer (vec_id % 16
+    are the centroids), nprobe=8 cell probing, exact rerank — the oracle
+    runs the identical approximate algorithm, so values hash-match.
+    nprobe sizing: the synthetic embeddings are near-isotropic, so recall
+    tracks ~2x the probed fraction (measured 0.50 @ 8/32 cells vs brute
+    force; asserted in tests/test_ops.py) — clustered corpora, the case IVF
+    exists for, reach full recall at nprobe=1 (also asserted)."""
+    emb = _t(spark, sf, "embeddings")
+    return S.ivf_topk(
+        emb, emb.where("vec_id < 20"), k=5, cell_stride=16, nprobe=8
+    )
+
+
 def _multimodal_features(spark, sf):
     """Binary-column plumbing: documents as fake media payloads through the
     Arrow mapInPandas decode kernel (decode stubbed, plumbing real)."""
@@ -342,6 +356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_token_jaccard": _dedup_token_jaccard,
         "dedup_simhash": _dedup_simhash,
         "ann_cosine_topk": _ann_cosine_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
         "dedup_embedding_cosine": _dedup_embedding_cosine,
         "similarity_lsh_ann": _similarity_lsh_ann,
         "multimodal_features": _multimodal_features,
@@ -648,6 +663,46 @@ def oracle_sql() -> dict[str, str]:
                                      n.vec_id) as rank
                    from v q join v n on q.vec_id <> n.vec_id
                    where q.vec_id < 20)
+            select query_id, neighbor_id, rank from scored where rank <= 5
+        """,
+        # identical IVF algorithm (sampled centroids, nearest-cell
+        # assignment, nprobe=2 probe, exact rerank) — approximate vs the
+        # true top-k, exact vs the Spark plan, so values hash-match.
+        "ann_ivf_topk": """
+            with v as (select vec_id, embedding::DOUBLE[] as e from embeddings),
+                 cents as (select vec_id as cell, e as ce from v
+                           where vec_id % 16 = 0),
+                 nassign as (
+                   select vec_id, e, cell from (
+                     select v.vec_id, v.e, c.cell,
+                            row_number() over (
+                              partition by v.vec_id
+                              order by list_dot_product(v.e, c.ce) /
+                                       (sqrt(list_dot_product(v.e, v.e)) *
+                                        sqrt(list_dot_product(c.ce, c.ce))) desc,
+                                       c.cell asc) as rn
+                     from v cross join cents c) where rn = 1),
+                 qprobe as (
+                   select vec_id as q_id, e as qe, cell from (
+                     select v.vec_id, v.e, c.cell,
+                            row_number() over (
+                              partition by v.vec_id
+                              order by list_dot_product(v.e, c.ce) /
+                                       (sqrt(list_dot_product(v.e, v.e)) *
+                                        sqrt(list_dot_product(c.ce, c.ce))) desc,
+                                       c.cell asc) as rn
+                     from v cross join cents c where v.vec_id < 20)
+                   where rn <= 8),
+                 scored as (
+                   select q.q_id as query_id, a.vec_id as neighbor_id,
+                          row_number() over (
+                            partition by q.q_id
+                            order by list_dot_product(q.qe, a.e) /
+                                     (sqrt(list_dot_product(q.qe, q.qe)) *
+                                      sqrt(list_dot_product(a.e, a.e))) desc,
+                                     a.vec_id asc) as rank
+                   from qprobe q join nassign a using (cell)
+                   where a.vec_id <> q.q_id)
             select query_id, neighbor_id, rank from scored where rank <= 5
         """,
         "dedup_embedding_cosine": _emb_lsh_pairs_sql(

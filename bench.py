@@ -195,7 +195,7 @@ def main():
         "cdc_latest_wins", "q1_pricing_summary", "q3_shipping_priority",
         "q5_revenue_by_nation", "window_top_orders", "text_profile",
         "dedup_exact", "dedup_minhash_lsh", "dedup_clusters",
-        "dedup_token_jaccard", "dedup_simhash", "ann_cosine_topk",
+        "dedup_token_jaccard", "dedup_simhash", "ann_cosine_topk", "ann_ivf_topk",
         "dedup_embedding_cosine", "text_wordcount_top",
     ]:
         run(name, lambda n=name: qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save())

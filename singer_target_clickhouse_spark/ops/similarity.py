@@ -7,6 +7,11 @@
 - ``lsh_bucket_ann``: the scale path — deterministic random-hyperplane
   signatures bucket the corpus; queries probe their own bucket only, then
   exact-rerank inside it. Sub-linear candidate volume, same top-k plan shape.
+- ``ivf_topk``: the other classic ANN scale path — an inverted-file (IVF)
+  index with a deterministic sampled coarse quantizer: every vector is
+  assigned to its nearest centroid (broadcast nested-loop + map-side
+  ``max_by``), queries probe their ``nprobe`` nearest cells, and only those
+  cells' members are exact-reranked.
 - ``cosine_pairs``: all pairs above a threshold (embedding near-dup dedup).
 """
 
@@ -132,6 +137,96 @@ def lsh_bucket_ann(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    cell_stride: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an inverted-file (IVF-flat) index: (query_id,
+    neighbor_id, rank).
+
+    Coarse quantizer: the vectors whose ``id % cell_stride == 0`` ARE the
+    centroids — a deterministic uniform sample, the zero-training end of the
+    IVF design space (k-means centroids drop into the same plan as a
+    broadcast table; sampling keeps the whole operator reproducible across
+    engines, which is what lets a DuckDB oracle value-match it).
+
+    Plan shape, sized for 100 TB:
+    - centroids broadcast (C ~ N/stride; choose stride so C*dim doubles fit
+      a broadcast, e.g. C=sqrt(N) cells — the standard IVF sizing);
+    - assignment is a broadcast nested-loop scan (N*C*dim flops, the same
+      cost real IVF training/assignment pays) reduced by a map-side
+      combinable ``max_by`` — the only corpus shuffle carries one
+      (id, vec, cell) row per vector;
+    - queries probe their ``nprobe`` nearest cells and broadcast into the
+      inverted lists, so the rerank join is shuffle-free on the corpus side
+      and touches ~nprobe/C of the data — the IVF speedup.
+    - ties (assignment and rank) break on ascending cell / neighbor id, so
+      output is deterministic given deterministic float sums.
+
+    A hot cell (skewed quantizer) fans its members to every probing query;
+    with sampled centroids cells are near-uniform by construction. Recall
+    vs brute force is asserted in tests/test_ops.py."""
+    cents = corpus.where((F.col(id_col) % cell_stride) == 0).select(
+        F.col(id_col).alias("cell"), _as_double(F.col(vec_col)).alias("cell_vec")
+    )
+
+    def scored_cells(df: DataFrame, a: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias(f"{a}_id"),
+                _as_double(F.col(vec_col)).alias(f"{a}_vec"),
+            )
+            .crossJoin(F.broadcast(cents))
+            .select(
+                f"{a}_id",
+                f"{a}_vec",
+                "cell",
+                cosine(F.col(f"{a}_vec"), F.col("cell_vec")).alias("cell_sim"),
+            )
+        )
+
+    # max_by over struct(sim, -cell): highest similarity wins, ties to the
+    # lowest cell id — mirrored by the oracle's ORDER BY sim DESC, cell ASC.
+    nassign = (
+        scored_cells(corpus, "n")
+        .groupBy("n_id")
+        .agg(
+            F.max_by(
+                "cell", F.struct(F.col("cell_sim"), (-F.col("cell")).alias("tb"))
+            ).alias("cell"),
+            F.first("n_vec").alias("n_vec"),  # constant within the group
+        )
+    )
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("cell_sim").desc(), F.col("cell").asc()
+    )
+    qprobe = (
+        scored_cells(queries, "q")
+        .withColumn("cn", F.row_number().over(wq))
+        .where(F.col("cn") <= nprobe)
+        .select("q_id", "q_vec", "cell")
+    )
+    scored = (
+        F.broadcast(qprobe)
+        .join(nassign, "cell")
+        .where(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"), F.col("n_id").alias("neighbor_id"), "rank"
+        )
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float = 0.95,
@@ -222,9 +317,16 @@ def cosine_pairs_lsh(
     # per-table join loop (the first draft) duplicated the n_tables
     # signature expression trees into every join branch (18 tables ->
     # ~18^2 sig trees in the plan) and planning/codegen blew up.
-    v = df.select(
-        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec"), *sigs
-    )
+    #
+    # Branch layout (round-5): the signature frame (id + n_tables longs) is
+    # lazily localCheckpointed, so the L*k*dim-literal expression tree exists
+    # in exactly ONE plan — `exact` and `probed` read the materialized
+    # scalars (at scale this IS the signature table every LSH system
+    # materializes), and the verify branches (`va`/`vb`) derive from a
+    # sig-free projection. The previous layout inlined the literal tree
+    # into all four branches and Catalyst analysis walked each copy.
+    base = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec"))
+    v = df.select(F.col(id_col).alias("id"), *sigs).localCheckpoint(eager=False)
     exact = v.select(
         "id",
         F.posexplode(
@@ -264,8 +366,8 @@ def cosine_pairs_lsh(
         .select(F.col("id").alias("a_id"), "b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
-    va = v.select(F.col("id").alias("a_id"), F.col("vec").alias("a_vec"))
-    vb = v.select(F.col("id").alias("b_id"), F.col("vec").alias("b_vec"))
+    va = base.select(F.col("id").alias("a_id"), F.col("vec").alias("a_vec"))
+    vb = base.select(F.col("id").alias("b_id"), F.col("vec").alias("b_vec"))
     return (
         cand.join(va, "a_id")
         .join(vb, "b_id")
