@@ -125,8 +125,15 @@ def bench_cdc_replay(spark, sf_dir: str, n_files: int = None, files_per_trigger:
                               n_files=n_files, with_offsets=True)
     lake = tempfile.mkdtemp(prefix="stcs_bench_lake_")
     ckpt = tempfile.mkdtemp(prefix="stcs_bench_ckpt_")
+    # Bucket count is DATA GEOMETRY, not a per-level tunable: a scaling
+    # campaign must hold it constant across parallelism levels. 32 is sized
+    # for the sf0.1 lake; the 8->32 campaign showed the merge stage's write
+    # parallelism is bounded by touched buckets (one file per bucket per
+    # commit), so STCS_BENCH_BUCKETS lets a campaign size buckets >= several
+    # x total cores, the same rule the 100 TB sizing note in config.py states.
+    n_buckets = int(os.environ.get("STCS_BENCH_BUCKETS", "32"))
     driver = StreamingDriver(
-        spark, Config(lake_root=lake, n_buckets=32), log_dir, ckpt,
+        spark, Config(lake_root=lake, n_buckets=n_buckets), log_dir, ckpt,
         max_files_per_trigger=files_per_trigger, offsets_in_log=True,
     )
     os.sync()  # flush the generated log before the timed window

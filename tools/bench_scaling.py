@@ -442,7 +442,9 @@ North-rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
 executors, evidenced by the same CDC-replay job whole-JVM-pinned to {n} and
 {4*n} cores on identical input: an offset-bearing JSONL change log of
 {lo['extra']['events']} Singer change events ({n_batches} micro-batches of
-{lo['extra']['events'] // n_batches}, 32 input splits per batch), replayed by
+{lo['extra']['events'] // n_batches} events across
+{os.environ.get('STCS_BENCH_FPT', '32')} files each, scanned at <=32 MB
+splits), replayed by
 the Structured Streaming driver (checkpointed foreachBatch, shred + max_by
 merge, exactly-once commits) into a fresh tmpfs lake; one JVM per run, levels
 interleaved, best of {repeats} runs per level; estimator = median over the
