@@ -161,6 +161,7 @@ def bench_cdc_replay(spark, sf_dir: str, n_files: int = None, files_per_trigger:
         # streaming trigger gap) — the scaling campaign's decomposition input
         "batch_phases": phases,
         "final_rows": rows,
+        "n_buckets": n_buckets,
     }
 
 
