@@ -40,8 +40,8 @@ def main() -> None:
     recs = load(path)
 
     by_level: dict[int, list[dict]] = defaultdict(list)
-    print(f"{'#':>2} {'cpus':>4} {'campaign':>22} {'rep':>3} {'clean_eps':>10} "
-          f"{'nclean':>6} {'mem GB/s/core':>13} {'sha s/core':>10}")
+    print(f"{'#':>2} {'cpus':>4} {'campaign':>22} {'rep':>3} {'bkt':>4} "
+          f"{'clean_eps':>10} {'nclean':>6} {'mem GB/s/core':>13} {'sha s/core':>10}")
     for i, r in enumerate(recs):
         e = r.get("extra", {})
         cpus = e.get("cpus")
@@ -49,7 +49,8 @@ def main() -> None:
         mem = (e.get("mem_probe") or {}).get("gb_per_sec_per_core", "")
         comp = (e.get("compute_probe") or {}).get("sec_per_core_median", "")
         print(f"{i:>2} {cpus:>4} {str(e.get('campaign'))[:22]:>22} "
-              f"{str(e.get('repeat', '')):>3} {str(e.get('clean_warm_eps', '')):>10} "
+              f"{str(e.get('repeat', '')):>3} {e.get('n_buckets', 32):>4} "
+              f"{str(e.get('clean_warm_eps', '')):>10} "
               f"{str(e.get('n_clean_warm_batches', '')):>6} {str(mem):>13} {str(comp):>10}")
 
     print("\nbest clean run per level:")
