@@ -159,9 +159,19 @@ def ivf_topk(
     - centroids broadcast (C ~ N/stride; choose stride so C*dim doubles fit
       a broadcast, e.g. C=sqrt(N) cells — the standard IVF sizing);
     - assignment is a broadcast nested-loop scan (N*C*dim flops, the same
-      cost real IVF training/assignment pays) reduced by a map-side
-      combinable ``max_by`` — the only corpus shuffle carries one
-      (id, vec, cell) row per vector;
+      cost real IVF training/assignment pays) whose output carries THREE
+      SCALARS per (vector, cell) — the vector itself stays out of the N*C
+      intermediate (the first draft carried the dim-double array through
+      every centroid comparison: ~20x row-size amplification at dim=64);
+    - the winning cell per vector reduces through a map-side-combinable
+      ``max_by``-only aggregate. ``max_by``'s struct-typed buffer keeps it
+      off HashAggregate (Spark's fixed-width-buffer requirement), so the
+      reduce is a partial SortAggregate — acceptable because its input
+      rows are 3 scalars and the sort's comparisons are dwarfed by the
+      dim-wide fma work that produced each row; the partial phase still
+      combines map-side, so the only exchange carries one row per vector;
+    - vectors re-attach by an id-keyed join with the corpus (N rows on
+      both sides, the normal shuffle-hash path);
     - queries probe their ``nprobe`` nearest cells and broadcast into the
       inverted lists, so the rerank join is shuffle-free on the corpus side
       and touches ~nprobe/C of the data — the IVF speedup.
@@ -176,6 +186,7 @@ def ivf_topk(
     )
 
     def scored_cells(df: DataFrame, a: str) -> DataFrame:
+        # (id, cell, cell_sim) only — scalars through the N*C fan-out
         return (
             df.select(
                 F.col(id_col).alias(f"{a}_id"),
@@ -184,7 +195,6 @@ def ivf_topk(
             .crossJoin(F.broadcast(cents))
             .select(
                 f"{a}_id",
-                f"{a}_vec",
                 "cell",
                 cosine(F.col(f"{a}_vec"), F.col("cell_vec")).alias("cell_sim"),
             )
@@ -198,8 +208,13 @@ def ivf_topk(
         .agg(
             F.max_by(
                 "cell", F.struct(F.col("cell_sim"), (-F.col("cell")).alias("tb"))
-            ).alias("cell"),
-            F.first("n_vec").alias("n_vec"),  # constant within the group
+            ).alias("cell")
+        )
+        .join(
+            corpus.select(
+                F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("n_vec")
+            ),
+            "n_id",
         )
     )
     wq = Window.partitionBy("q_id").orderBy(
@@ -209,6 +224,12 @@ def ivf_topk(
         scored_cells(queries, "q")
         .withColumn("cn", F.row_number().over(wq))
         .where(F.col("cn") <= nprobe)
+        .join(
+            queries.select(
+                F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
+            ),
+            "q_id",
+        )
         .select("q_id", "q_vec", "cell")
     )
     scored = (
