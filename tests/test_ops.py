@@ -252,6 +252,19 @@ def test_ivf_topk_recall_floor_on_corpus(spark):
     assert recall >= 0.45, f"IVF recall degraded: {recall:.3f}"
 
 
+def test_ivf_topk_deterministic_under_repartitioning(spark):
+    # the tie rules (assignment: sim DESC, cell ASC; rank: sim DESC, id ASC)
+    # must make the output a pure function of the DATA — partition layout
+    # must not leak through max_by/row_number (it would if ties broke on
+    # encounter order anywhere)
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.where("vec_id < 20")
+    a = sorted(map(tuple, S.ivf_topk(emb, q, k=5, cell_stride=16, nprobe=8).collect()))
+    b = sorted(map(tuple, S.ivf_topk(
+        emb.repartition(13), q.coalesce(1), k=5, cell_stride=16, nprobe=8).collect()))
+    assert a == b
+
+
 def test_multimodal_plumbing(spark):
     rows = [
         (1, "image", "image/png", bytearray(b"\x00\x10\x00\x20abcdef"), {"w": "16"}),
