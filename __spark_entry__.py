@@ -666,7 +666,7 @@ def oracle_sql() -> dict[str, str]:
             select query_id, neighbor_id, rank from scored where rank <= 5
         """,
         # identical IVF algorithm (sampled centroids, nearest-cell
-        # assignment, nprobe=2 probe, exact rerank) — approximate vs the
+        # assignment, nprobe=8 probe, exact rerank) — approximate vs the
         # true top-k, exact vs the Spark plan, so values hash-match.
         "ann_ivf_topk": """
             with v as (select vec_id, embedding::DOUBLE[] as e from embeddings),
