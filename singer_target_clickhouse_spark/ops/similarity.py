@@ -38,6 +38,39 @@ def _as_double(col: Column) -> Column:
     return F.transform(col, lambda v: v.cast("double"))
 
 
+def _staged_vec(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    """(id, vec, nrm) staging used by every pair-scoring operator: the
+    double-cast vector materializes in one projection, the norm reads the
+    STAGED column in a second projection (CollapseProject keeps the
+    non-cheap transform staged — referencing ``_as_double(col)`` twice in
+    one select would evaluate the cast per reference).
+
+    Precomputing the norm per VECTOR is the round-6 optimization: the
+    per-pair ``cosine(a, b)`` re-derived both norms for every scored pair —
+    an O(pairs·dim) interpreted overhead for an O(rows·dim) quantity (the
+    dot/norm HOFs are CodegenFallback, evaluated element-by-element). The
+    staged norm is the identical expression over the identical doubles, so
+    every downstream similarity is bit-unchanged (same IEEE ops, same
+    order) and the DuckDB oracles still value-match."""
+    staged = df.select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        _as_double(F.col(vec_col)).alias(f"{prefix}_vec"),
+    )
+    return staged.select(
+        f"{prefix}_id",
+        f"{prefix}_vec",
+        norm(F.col(f"{prefix}_vec")).alias(f"{prefix}_nrm"),
+    )
+
+
+def _pair_sim(a: str, b: str) -> Column:
+    """Cosine of two staged vectors: one dot product per pair, norms read
+    from the staging (bit-identical to ``cosine(a_vec, b_vec)``)."""
+    return dot(F.col(f"{a}_vec"), F.col(f"{b}_vec")) / (
+        F.col(f"{a}_nrm") * F.col(f"{b}_nrm")
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -46,15 +79,12 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k neighbors per query (excluding self): (query_id,
-    neighbor_id, rank). Ties break on neighbor id for determinism."""
-    c = corpus.select(
-        F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("n_vec")
-    )
-    q = queries.select(
-        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
-    )
+    neighbor_id, rank). Ties break on neighbor id for determinism. Norms
+    are staged per vector (see ``_staged_vec``), not re-derived per pair."""
+    c = _staged_vec(corpus, id_col, vec_col, "n")
+    q = _staged_vec(queries, id_col, vec_col, "q")
     scored = q.join(F.broadcast(c), F.col("q_id") != F.col("n_id")).select(
-        "q_id", "n_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("sim")
+        "q_id", "n_id", _pair_sim("q", "n").alias("sim")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
     return (
@@ -118,17 +148,16 @@ def lsh_bucket_ann(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: bucket by hyperplane signature, exact-rerank within
-    the query's bucket. Returns (query_id, neighbor_id, rank)."""
-    sig = lambda df, a: df.select(  # noqa: E731
-        F.col(id_col).alias(f"{a}_id"),
-        _as_double(F.col(vec_col)).alias(f"{a}_vec"),
-        hyperplane_signature(F.col(vec_col), dim, n_planes).alias(f"{a}_sig"),
+    the query's bucket. Returns (query_id, neighbor_id, rank). Norms are
+    staged per vector (see ``_staged_vec``), not re-derived per pair."""
+    sig = lambda df, a: _staged_vec(df, id_col, vec_col, a).withColumn(  # noqa: E731
+        f"{a}_sig", hyperplane_signature(F.col(f"{a}_vec"), dim, n_planes)
     )
     c = sig(corpus, "n")
     q = sig(queries, "q")
     scored = q.join(
         c, (F.col("q_sig") == F.col("n_sig")) & (F.col("q_id") != F.col("n_id"))
-    ).select("q_id", "n_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("sim"))
+    ).select("q_id", "n_id", _pair_sim("q", "n").alias("sim"))
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -180,23 +209,31 @@ def ivf_topk(
 
     A hot cell (skewed quantizer) fans its members to every probing query;
     with sampled centroids cells are near-uniform by construction. Recall
-    vs brute force is asserted in tests/test_ops.py."""
-    cents = corpus.where((F.col(id_col) % cell_stride) == 0).select(
-        F.col(id_col).alias("cell"), _as_double(F.col(vec_col)).alias("cell_vec")
+    vs brute force is asserted in tests/test_ops.py.
+
+    Round 6: vector and centroid norms are staged per ROW (``_staged_vec``)
+    instead of re-derived inside the N*C fan-out — the per-pair cosine paid
+    3 interpreted dim-wide HOF passes (dot + both norms) per (vector, cell)
+    comparison; now the fan-out pays exactly one. Same expressions over the
+    same doubles, so every similarity (and every assignment/rank tie-break)
+    is bit-unchanged."""
+    cents = _staged_vec(
+        corpus.where((F.col(id_col) % cell_stride) == 0), id_col, vec_col, "cell"
+    ).select(
+        F.col("cell_id").alias("cell"),
+        "cell_vec",
+        "cell_nrm",
     )
 
     def scored_cells(df: DataFrame, a: str) -> DataFrame:
         # (id, cell, cell_sim) only — scalars through the N*C fan-out
         return (
-            df.select(
-                F.col(id_col).alias(f"{a}_id"),
-                _as_double(F.col(vec_col)).alias(f"{a}_vec"),
-            )
+            _staged_vec(df, id_col, vec_col, a)
             .crossJoin(F.broadcast(cents))
             .select(
                 f"{a}_id",
                 "cell",
-                cosine(F.col(f"{a}_vec"), F.col("cell_vec")).alias("cell_sim"),
+                _pair_sim(a, "cell").alias("cell_sim"),
             )
         )
 
@@ -210,12 +247,7 @@ def ivf_topk(
                 "cell", F.struct(F.col("cell_sim"), (-F.col("cell")).alias("tb"))
             ).alias("cell")
         )
-        .join(
-            corpus.select(
-                F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("n_vec")
-            ),
-            "n_id",
-        )
+        .join(_staged_vec(corpus, id_col, vec_col, "n"), "n_id")
     )
     wq = Window.partitionBy("q_id").orderBy(
         F.col("cell_sim").desc(), F.col("cell").asc()
@@ -224,19 +256,14 @@ def ivf_topk(
         scored_cells(queries, "q")
         .withColumn("cn", F.row_number().over(wq))
         .where(F.col("cn") <= nprobe)
-        .join(
-            queries.select(
-                F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
-            ),
-            "q_id",
-        )
-        .select("q_id", "q_vec", "cell")
+        .join(_staged_vec(queries, id_col, vec_col, "q"), "q_id")
+        .select("q_id", "q_vec", "q_nrm", "cell")
     )
     scored = (
         F.broadcast(qprobe)
         .join(nassign, "cell")
         .where(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("sim"))
+        .select("q_id", "n_id", _pair_sim("q", "n").alias("sim"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
     return (
@@ -256,15 +283,16 @@ def cosine_pairs(
 ) -> DataFrame:
     """Embedding near-dup pairs, brute force: cosine above threshold,
     a_id < b_id. All-pairs nested-loop — the SMALL-N VERIFIER ONLY; the scale
-    path is ``cosine_pairs_lsh`` (bucketed candidates, exact verify)."""
-    v = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec"))
+    path is ``cosine_pairs_lsh`` (bucketed candidates, exact verify). Norms
+    are staged per vector (see ``_staged_vec``)."""
+    va = _staged_vec(df, id_col, vec_col, "a")
+    vb = _staged_vec(df, id_col, vec_col, "b")
     return (
-        v.alias("a")
-        .join(v.alias("b"), F.col("a.id") < F.col("b.id"))
+        va.join(vb, F.col("a_id") < F.col("b_id"))
         .select(
-            F.col("a.id").alias("a_id"),
-            F.col("b.id").alias("b_id"),
-            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4).alias("cos_sim"),
+            "a_id",
+            "b_id",
+            F.round(_pair_sim("a", "b"), 4).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
@@ -346,7 +374,6 @@ def cosine_pairs_lsh(
     # materializes), and the verify branches (`va`/`vb`) derive from a
     # sig-free projection. The previous layout inlined the literal tree
     # into all four branches and Catalyst analysis walked each copy.
-    base = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec"))
     v = df.select(F.col(id_col).alias("id"), *sigs).localCheckpoint(eager=False)
     exact = v.select(
         "id",
@@ -387,15 +414,18 @@ def cosine_pairs_lsh(
         .select(F.col("id").alias("a_id"), "b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
-    va = base.select(F.col("id").alias("a_id"), F.col("vec").alias("a_vec"))
-    vb = base.select(F.col("id").alias("b_id"), F.col("vec").alias("b_vec"))
+    # exact verify on candidates only; norms staged per vector so each
+    # candidate pair pays ONE interpreted dot instead of dot + two norms
+    # (bit-identical values, see _staged_vec)
+    va = _staged_vec(df, id_col, vec_col, "a")
+    vb = _staged_vec(df, id_col, vec_col, "b")
     return (
         cand.join(va, "a_id")
         .join(vb, "b_id")
         .select(
             "a_id",
             "b_id",
-            F.round(cosine(F.col("a_vec"), F.col("b_vec")), 4).alias("cos_sim"),
+            F.round(_pair_sim("a", "b"), 4).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )

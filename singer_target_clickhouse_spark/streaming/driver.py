@@ -113,17 +113,18 @@ class StreamingDriver:
         import time as _time
 
         t0 = _time.time()
-        n_phases = len(self.engine.batch_phases)
+        # identity of the last record, not deque length (round-5 ADVICE): the
+        # phase log is a bounded deque, so once saturated its length stops
+        # growing and a length comparison would report an empty phase dict for
+        # every batch of exactly the long-lived drivers the bound targets
+        prev_last = self.engine.batch_phases[-1] if self.engine.batch_phases else None
         try:
             self._apply_batch_inner(batch, batch_id)
         finally:
             end = _time.time()
             self.batch_times.append(end - t0)
-            ph = (
-                dict(self.engine.batch_phases[-1])
-                if len(self.engine.batch_phases) > n_phases
-                else {}
-            )
+            cur_last = self.engine.batch_phases[-1] if self.engine.batch_phases else None
+            ph = dict(cur_last) if cur_last is not None and cur_last is not prev_last else {}
             ph["batch_total"] = end - t0
             ph["wall_start"] = t0
             ph["wall_end"] = end

@@ -463,3 +463,27 @@ def test_dedup_clusters_max_iter_exhausted_raises(spark):
     docs = spark.createDataFrame([(i,) for i in range(1, 10)], "doc_id long")
     with pytest.raises(RuntimeError, match="did not converge"):
         D.dedup_clusters(docs, pairs=pairs, max_iter=1)
+
+
+def test_dedup_clusters_bad_pair_endpoints_raise(spark):
+    # round-5 ADVICE: pair endpoints are validated like df ids — a null or
+    # non-castable a_id/b_id must raise instead of silently dropping the
+    # edge (or emitting a spurious null-id output row).
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    pairs = spark.createDataFrame([("1", "x")], "a_id string, b_id string")
+    with pytest.raises(ValueError, match="pairs contain"):
+        D.dedup_clusters(docs, pairs=pairs)
+    null_pairs = spark.createDataFrame([(None, 2)], "a_id long, b_id long")
+    with pytest.raises(ValueError, match="pairs contain"):
+        D.dedup_clusters(docs, pairs=null_pairs)
+
+
+def test_dedup_clusters_pair_only_ids_never_label(spark):
+    # contract pinned across the round-6 seeded-first-hop rewrite: an id
+    # appearing only in pairs propagates labels but its own id never becomes
+    # a cluster label, even when it is the smallest id in its component.
+    pairs = spark.createDataFrame([(5, 7)], "a_id long, b_id long")
+    docs = spark.createDataFrame([(7,)], "doc_id long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in D.dedup_clusters(docs, pairs=pairs).collect()}
+    assert got == {5: 7, 7: 7}
