@@ -154,3 +154,57 @@ def test_auto_vacuum_bounds_storage(spark, tmp_path):
     assert parquet_count() <= 3 * 2
     got = sorted((r["id"], r["v"]) for r in e.catalog.read("av").collect())
     assert got == [(k, 5) for k in range(8)]
+
+
+def test_merge_upsert_broadcast_keys_parity(spark, tmp_path):
+    # round-6: the broadcast-keys merge plan (batch-latest ∪ target anti-join
+    # batch keys) must be value-identical to the aggregate plan over
+    # target ∪ batch — across inserts, updates, tombstones, a same-batch
+    # record+tombstone sequence, and null keys.
+    from pyspark.sql import types as T
+
+    from singer_target_clickhouse_spark.lake import merge as M
+    from singer_target_clickhouse_spark.lake.catalog import LakeCatalog
+
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("_ver", T.LongType()),
+    ])
+
+    def batch_df(rows):
+        return spark.createDataFrame(rows, "k string, v string, _ver long, __ts boolean")
+
+    batches = [
+        # inserts incl a null key, an in-batch update, and an in-batch
+        # record-then-tombstone (tombstone wins: higher _ver)
+        [("a", "1", 1, False), ("b", "1", 2, False), (None, "n", 3, False),
+         ("a", "2", 4, False), ("c", "1", 5, False), ("c", None, 6, True)],
+        # cross-batch update, tombstone of an old key, re-insert after
+        # tombstone in the same batch, update of the null key
+        [("b", "2", 11, False), ("a", None, 12, True), ("a", "3", 13, False),
+         (None, "n2", 14, False), ("d", "1", 15, False)],
+        # tombstone the null key; touch a single bucket only
+        [(None, None, 21, True), ("d", "2", 22, False)],
+    ]
+
+    results = {}
+    for mode in (False, True):
+        cat = LakeCatalog(str(tmp_path / f"lake_{mode}"), spark)
+        snap = cat.create_table(
+            "t", schema=schema,
+            ch_columns=[{"name": c, "type": "String", "is_in_sorting_key": c == "k"}
+                        for c in ("k", "v")],
+            pk=["k"], order_by=["k"], engine="replacing",
+            bucket_by=["k"], n_buckets=4,
+        )
+        for rows in batches:
+            snap = M.merge_upsert(cat, "t", batch_df(rows), snap=snap,
+                                  tombstone_col="__ts", broadcast_keys=mode)
+            cat.commit_snapshot("t", snap)
+        results[mode] = sorted(map(tuple, cat.read("t").collect()),
+                               key=lambda r: (r[0] is None, r))
+    assert results[True] == results[False]
+    # and the merged content is what ordered CDC semantics demand
+    assert [(r[0], r[1]) for r in results[True]] == [
+        ("a", "3"), ("b", "2"), ("d", "2")]
