@@ -8,8 +8,9 @@ Scale design: events are synthesized **distributed** — a ``spark.range``
 with every column a deterministic function of the event index (seeded
 hashes), then ``to_json`` — so generating 10^10 events is an O(n/cores)
 map with no driver materialization. Repo popularity is skewed (a few hot
-repos receive a large share of updates) to exercise the salted-repartition
-skew path the north rule calls for.
+repos receive a large share of updates) to exercise the engine's skew
+defense — the map-side ``max_by`` partial combine in the merge (an explicit
+salted repartition was measured and reverted in round 4).
 """
 
 from __future__ import annotations

@@ -411,10 +411,17 @@ def dedup_clusters(
     # id; try_cast yields nulls that the validation below turns into an
     # actionable error
     ids = df.select(F.col(id_col).try_cast("long").alias("id"))
+    # Lazy checkpoint of the forward pair frame BEFORE mirroring it: the
+    # edge union references it twice (forward + reversed), and without the
+    # materialization boundary both branches re-run the whole pair GENERATOR
+    # — for the default minhash_lsh_pairs input that meant the banded LSH
+    # join executed twice inside the cache-warming job (measured round 6).
+    # The checkpoint materializes the (src, dst) longs once; the mirrored
+    # branch re-reads them.
     fwd = pairs.select(
         F.col("a_id").try_cast("long").alias("src"),
         F.col("b_id").try_cast("long").alias("dst"),
-    )
+    ).localCheckpoint(eager=False)
     edges = (
         fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .unionByName(ids.select(F.col("id").alias("src"), F.col("id").alias("dst")))
