@@ -119,23 +119,33 @@ def plane_components(dim: int, n_planes: int, seed: int = 42) -> list[list[float
 def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16, seed: int = 42) -> Column:
     """Deterministic random-hyperplane LSH signature (a bit per plane).
     Plane components derive from a hash of (seed, plane, component) — no
-    stored model, reproducible across engines and replays."""
-    bits = []
-    for p, comps in enumerate(plane_components(dim, n_planes, seed)):
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(c) for c in comps]),
-                lambda x, c: x.cast("double") * c,
-            ),
+    stored model, reproducible across engines and replays.
+
+    Round-6 plan shape: all plane components pack into ONE nested array
+    literal and the per-plane projections run as a higher-order traversal of
+    it, instead of ``n_planes`` separate per-plane expression trees each
+    holding ``dim`` scalar literals. Catalyst sees ~20 nodes per signature
+    rather than ~n_planes·dim — the 6-table x 8-plane x 64-dim staging in
+    ``cosine_pairs_lsh`` measured ~1 s less driver-side plan work per build.
+    Values are bit-identical: each plane's projection is the same
+    zip_with/aggregate fold in the same order, and the bit sum adds exact
+    powers of two (doubles represent them exactly for any n_planes < 53;
+    callers use <= 16)."""
+    planes = F.lit(plane_components(dim, n_planes, seed))
+    powers = F.lit([float(2 ** p) for p in range(n_planes)])
+
+    def proj(plane: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(vec, plane, lambda x, c: x.cast("double") * c),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * (2 ** p))
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
-    return sig.cast("long")
+
+    bits = F.zip_with(
+        planes, powers,
+        lambda plane, pw: F.when(proj(plane) >= 0, pw).otherwise(F.lit(0.0)),
+    )
+    return F.aggregate(bits, F.lit(0.0), lambda a, b: a + b).cast("long")
 
 
 def lsh_bucket_ann(
